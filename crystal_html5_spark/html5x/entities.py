@@ -20,8 +20,13 @@ ENTITY: dict[str, str] = {
 }
 
 # Two-codepoint named references (e.g. "NotEqualTilde;" -> U+2242 U+0338).
+# "nGt;" and "nLt;" are excluded by the reference (entity.cr:2154-2155):
+# their UTF-8 encodings are longer than the escaped form, which the
+# in-place decoder cannot grow — they therefore stay UNdecoded.
 ENTITY2: dict[str, str] = {
-    k: v for k, v in _stdlib_entities.html5.items() if len(v) == 2
+    k: v
+    for k, v in _stdlib_entities.html5.items()
+    if len(v) == 2 and k not in ("nGt;", "nLt;")
 }
 
 # All no-semicolon legacy names are at most this long (reference:
