@@ -1,0 +1,486 @@
+"""Driver-contract queries and their DuckDB oracles.
+
+Each entry in QUERIES is a callable (spark, sf_dir) -> DataFrame; ORACLES
+maps the same names to ANSI SQL that DuckDB runs over the same parquet
+tables.  Column names/aliases match exactly (the driver's compare sorts
+columns by name and hashes values).
+
+Design notes for hash-stable oracles:
+- Money is aggregated in integer cents via FLOOR(x*100 + 0.5) — identical
+  in both engines (no ROUND-mode mismatch), exact integer sums.
+- Hash-based ops use md5 hex strings (identical in both engines) rather
+  than engine-specific hash functions.
+- ANN top-k outputs integer (vec_id, rank) only — no floats in compared
+  values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .extract_job import run_extract
+from .pages import n_pages_for_sf, pages_df
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_views(spark, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(query: str):
+    def fn(spark, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(query)
+
+    return fn
+
+
+# --------------------------- relational core ------------------------------
+
+_PRICING_SUMMARY_SPARK = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+           AS sum_base_price_cents,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+           AS sum_disc_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_TOP_REVENUE_SPARK = """
+SELECT o_orderkey,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+           AS revenue_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+_SEGMENT_TOTALS_SPARK = """
+SELECT /*+ BROADCAST(c) */ c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, rn
+FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+_EVENT_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ------------------------ training-data ops ------------------------------
+
+_DOCS_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY content_hash
+"""
+
+_DOCS_TOKEN_STATS_SPARK = """
+SELECT doc_id, length(text) AS n_chars_obs,
+       size(regexp_extract_all(text, '\\\\S+', 0)) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+_DOCS_TOKEN_STATS_DUCK = r"""
+SELECT doc_id, length(text) AS n_chars_obs,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+_DOCS_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars_obs,
+       length(regexp_replace(text, '[^A-Za-z]', '')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '')) AS n_digit,
+       CAST(FLOOR(100.0 * length(regexp_replace(text, '[^A-Za-z]', ''))
+                  / length(text)) AS BIGINT) AS alpha_pct
+FROM documents
+WHERE length(text) > 0
+ORDER BY doc_id
+"""
+
+# DuckDB regexp_replace is first-match-only without the 'g' flag.
+_DOCS_QUALITY_DUCK = """
+SELECT doc_id,
+       length(text) AS n_chars_obs,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       CAST(FLOOR(100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / length(text)) AS BIGINT) AS alpha_pct
+FROM documents
+WHERE length(text) > 0
+ORDER BY doc_id
+"""
+
+_DOCS_LANG_STATS = """
+SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_DOCS_LANGID = """
+SELECT doc_id, lang,
+       CASE WHEN instr(lower(text), ' the ') > 0
+              OR instr(lower(text), ' and ') > 0 THEN 'en'
+            WHEN instr(lower(text), ' der ') > 0
+              OR instr(lower(text), ' und ') > 0 THEN 'de'
+            WHEN instr(lower(text), ' le ') > 0
+              OR instr(lower(text), ' et ') > 0 THEN 'fr'
+            WHEN instr(lower(text), ' el ') > 0
+              OR instr(lower(text), ' los ') > 0 THEN 'es'
+            ELSE 'unk' END AS pred_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+_DOCS_FINGERPRINT_SPARK = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\\\s+', ' ')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+_DOCS_FINGERPRINT_DUCK = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+_DOCS_MINHASH_SPARK = """
+WITH words AS (
+  SELECT doc_id, pos, w
+  FROM documents
+  LATERAL VIEW posexplode(regexp_extract_all(text, '\\\\S+', 0)) t AS pos, w
+), shingles AS (
+  SELECT doc_id,
+         concat_ws(' ', w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM words
+), sigs AS (
+  SELECT doc_id,
+         min(md5(concat(s, '#1'))) AS sig1,
+         min(md5(concat(s, '#2'))) AS sig2,
+         min(md5(concat(s, '#3'))) AS sig3,
+         min(md5(concat(s, '#4'))) AS sig4
+  FROM shingles WHERE w3 IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT doc_id, sig1, sig2, sig3, sig4 FROM sigs ORDER BY doc_id
+"""
+
+_DOCS_MINHASH_DUCK = r"""
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos,
+         unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents
+), shingles AS (
+  SELECT doc_id,
+         concat_ws(' ', w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM words
+), sigs AS (
+  SELECT doc_id,
+         min(md5(s || '#1')) AS sig1,
+         min(md5(s || '#2')) AS sig2,
+         min(md5(s || '#3')) AS sig3,
+         min(md5(s || '#4')) AS sig4
+  FROM shingles WHERE w3 IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT doc_id, sig1, sig2, sig3, sig4 FROM sigs ORDER BY doc_id
+"""
+
+_DOCS_MINHASH_BANDS_SPARK = f"""
+WITH sigs AS ({_DOCS_MINHASH_SPARK.replace('ORDER BY doc_id', '')})
+SELECT concat(sig1, sig2) AS band, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs
+FROM sigs
+GROUP BY concat(sig1, sig2)
+ORDER BY band
+"""
+
+_DOCS_MINHASH_BANDS_DUCK = f"""
+WITH sigs AS ({_DOCS_MINHASH_DUCK.replace('ORDER BY doc_id', '')})
+SELECT sig1 || sig2 AS band, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM sigs
+GROUP BY sig1 || sig2
+ORDER BY band
+"""
+
+_ANN_TOPK_SPARK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         aggregate(zip_with(e.embedding, q.qe,
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+         / (sqrt(aggregate(e.embedding, CAST(0.0 AS DOUBLE),
+                           (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+            * sqrt(aggregate(q.qe, CAST(0.0 AS DOUBLE),
+                           (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, rank FROM (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+_ANN_TOPK_DUCK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, rank FROM (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+def _ann_lsh_buckets(spark, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH buckets (the ANN scale path: bucket first,
+    brute-force within buckets).  Vectorized numpy over Arrow batches; the
+    hyperplanes are seeded so the result is deterministic.  No SQL oracle —
+    rows-only check."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def bucketize(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(42)
+        planes = rng.standard_normal((8, 64))
+        for batch in iterator:
+            vec_ids = batch.column("vec_id")
+            mat = np.array(batch.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            bits = (mat @ planes.T) >= 0
+            buckets = bits.dot(1 << np.arange(8)).astype("int64")
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(buckets)], names=["vec_id", "bucket"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        bucketize, "vec_id bigint, bucket bigint"
+    ).orderBy("vec_id")
+
+
+# ------------------------- HTML extraction queries ------------------------
+# The pages table is synthesized deterministically (seed 42) at a size
+# scaled to sf_dir; the parser is not SQL-expressible, so these are
+# rows-only checks for the driver (deterministic output across runs).
+
+
+def _pages(spark, sf_dir: str) -> DataFrame:
+    return pages_df(spark, n_pages_for_sf(sf_dir))
+
+
+def _extract_pages(spark, sf_dir: str) -> DataFrame:
+    out = run_extract(spark, _pages(spark, sf_dir))
+    return out.select(
+        "url",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        "n_nodes",
+        F.length("main_text").alias("main_len"),
+        "err",
+    ).orderBy("url")
+
+
+def _page_links(spark, sf_dir: str) -> DataFrame:
+    """CSS-driven link extraction per page (a[href])."""
+    pages = _pages(spark, sf_dir).select("url", "html")
+
+    def links(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.css import compile_selector
+        from crystal_html5_spark.html5x.parser import parse
+
+        sel = compile_selector("a[href]")
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            n_links = []
+            first_href = []
+            for h in htmls:
+                try:
+                    doc = parse(h or b"")
+                    matched = sel.select(doc)
+                    hrefs = [m["href"] for m in matched]
+                except Exception:  # noqa: BLE001
+                    hrefs = []
+                n_links.append(len(hrefs))
+                first_href.append(hrefs[0] if hrefs else None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls), pa.array(n_links, pa.int32()),
+                 pa.array(first_href, pa.string())],
+                names=["url", "n_links", "first_href"],
+            )
+
+    return pages.mapInArrow(
+        links, "url string, n_links int, first_href string"
+    ).orderBy("url")
+
+
+def _page_titles(spark, sf_dir: str) -> DataFrame:
+    """XPath-driven title extraction per page (//title)."""
+    pages = _pages(spark, sf_dir).select("url", "html")
+
+    def titles(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.parser import parse
+        from crystal_html5_spark.html5x.xpath import xpath
+
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            out = []
+            for h in htmls:
+                try:
+                    node = xpath(parse(h or b""), "//title")
+                    t = node.inner_text() if node is not None else None
+                    if t is not None:
+                        t = t.encode("utf-8", "replace").decode("utf-8")
+                except Exception:  # noqa: BLE001
+                    t = None
+                out.append(t)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls), pa.array(out, pa.string())],
+                names=["url", "title"],
+            )
+
+    return pages.mapInArrow(titles, "url string, title string").orderBy("url")
+
+
+def _extract_lang_stats(spark, sf_dir: str) -> DataFrame:
+    """Pipeline-level agg: extraction joined back to page lang, per-lang
+    byte totals (exercises join + agg over the UDF output)."""
+    pages = _pages(spark, sf_dir)
+    out = run_extract(spark, pages)
+    joined = out.join(pages.select("url", "lang").distinct(), "url")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text")).alias("sum_text_bytes"),
+            F.sum("n_nodes").alias("sum_nodes"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------ registry ---------------------------------
+
+QUERIES: dict = {
+    # relational core (Catalyst-native)
+    "pricing_summary": _sql(_PRICING_SUMMARY_SPARK),
+    "top_revenue_orders": _sql(_TOP_REVENUE_SPARK),
+    "segment_totals": _sql(_SEGMENT_TOTALS_SPARK),
+    "top_orders_per_customer": _sql(_TOP_ORDERS_PER_CUSTOMER),
+    "latest_event_per_user": _sql(_LATEST_EVENT_PER_USER),
+    "event_type_stats": _sql(_EVENT_TYPE_STATS),
+    # training-data ops over documents
+    "docs_dedup_exact": _sql(_DOCS_DEDUP_EXACT),
+    "docs_token_stats": _sql(_DOCS_TOKEN_STATS_SPARK),
+    "docs_quality": _sql(_DOCS_QUALITY),
+    "docs_lang_stats": _sql(_DOCS_LANG_STATS),
+    "docs_langid": _sql(_DOCS_LANGID),
+    "docs_fingerprint": _sql(_DOCS_FINGERPRINT_SPARK),
+    "docs_minhash_sigs": _sql(_DOCS_MINHASH_SPARK),
+    "docs_minhash_bands": _sql(_DOCS_MINHASH_BANDS_SPARK),
+    # similarity search over embeddings
+    "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
+    "ann_lsh_buckets": _ann_lsh_buckets,
+    # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
+    "extract_pages": _extract_pages,
+    "page_links": _page_links,
+    "page_titles": _page_titles,
+    "extract_lang_stats": _extract_lang_stats,
+}
+
+ORACLES: dict = {
+    "pricing_summary": _PRICING_SUMMARY_SPARK,
+    "top_revenue_orders": _TOP_REVENUE_SPARK,
+    "segment_totals": _SEGMENT_TOTALS_SPARK.replace(
+        "/*+ BROADCAST(c) */ ", ""
+    ),
+    "top_orders_per_customer": _TOP_ORDERS_PER_CUSTOMER,
+    "latest_event_per_user": _LATEST_EVENT_PER_USER,
+    "event_type_stats": _EVENT_TYPE_STATS,
+    "docs_dedup_exact": _DOCS_DEDUP_EXACT,
+    "docs_token_stats": _DOCS_TOKEN_STATS_DUCK,
+    "docs_quality": _DOCS_QUALITY_DUCK,
+    "docs_lang_stats": _DOCS_LANG_STATS,
+    "docs_langid": _DOCS_LANGID,
+    "docs_fingerprint": _DOCS_FINGERPRINT_DUCK,
+    "docs_minhash_sigs": _DOCS_MINHASH_DUCK,
+    "docs_minhash_bands": _DOCS_MINHASH_BANDS_DUCK,
+    "ann_cosine_topk": _ANN_TOPK_DUCK,
+    # ann_lsh_buckets, extract_pages, page_links, page_titles,
+    # extract_lang_stats: non-SQL-expressible -> rows-only.
+}
