@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end HTML extraction pipeline (scan ->
+dedup -> salted repartition -> mapInArrow tokenizer/tree/extract -> agg)
+over the deterministic synthetic pages table scaled to the sf; docs/sec is
+reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crystal_html5_spark.sparkjob import queries as Q  # noqa: E402
+from crystal_html5_spark.sparkjob.extract_job import run_extract  # noqa: E402
+from crystal_html5_spark.sparkjob.pages import (  # noqa: E402
+    n_pages_for_sf,
+    pages_parquet,
+)
+from crystal_html5_spark.sparkjob.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(pathlib.Path(sf_dir).name.removeprefix("sf") or 0.1)
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Materialize the synthetic pages table once (not timed): realistic
+    # parquet scan path with column pruning.
+    n_pages = n_pages_for_sf(sf_dir)
+    pages_path = pages_parquet(spark, n_pages)
+    pages = spark.read.parquet(pages_path)
+
+    # Warm up the JVM + Python workers on a slice.
+    run_extract(spark, pages.limit(512), num_partitions=cpus).agg(
+        F.sum(F.length("text"))
+    ).collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = {}
+
+    def run_pipeline() -> None:
+        out = run_extract(spark, pages, num_partitions=cpus)
+        row = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("text_bytes"),
+            F.sum(F.when(F.col("err") != "", 1).otherwise(0)).alias("errs"),
+        ).collect()[0]
+        n_docs["n"] = row["n"]
+        n_docs["text_bytes"] = row["text_bytes"]
+
+    timed("extract_pipeline", run_pipeline)
+    timed("pricing_summary",
+          lambda: Q.QUERIES["pricing_summary"](spark, sf_dir).collect())
+    timed("top_revenue_orders",
+          lambda: Q.QUERIES["top_revenue_orders"](spark, sf_dir).collect())
+    timed("docs_dedup_exact",
+          lambda: Q.QUERIES["docs_dedup_exact"](spark, sf_dir).count())
+    timed("docs_minhash_bands",
+          lambda: Q.QUERIES["docs_minhash_bands"](spark, sf_dir).count())
+    timed("ann_cosine_topk",
+          lambda: Q.QUERIES["ann_cosine_topk"](spark, sf_dir).collect())
+    timed("latest_event_per_user",
+          lambda: Q.QUERIES["latest_event_per_user"](spark, sf_dir).count())
+
+    extract_sec = timings["extract_pipeline"]
+    result = {
+        "metric": (
+            "end-to-end HTML extraction (dedup+salt+tokenize+tree+text) over"
+            f" {n_pages} synthetic pages + relational/training-data queries"
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_extracted": n_docs.get("n", 0),
+        "docs_per_sec": round(n_docs.get("n", 0) / extract_sec, 1)
+        if extract_sec else 0.0,
+        "text_bytes": int(n_docs.get("text_bytes") or 0),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,10 +117,17 @@ def dedup_latest_capture(pages: DataFrame) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, num_partitions: int,
-                       salt: int = 8) -> DataFrame:
-    """Repartition on host + url-hash salt: co-locates pages per host for
-    politeness/cache locality while splitting mega-hosts across `salt`
-    partitions (defeats domain skew — north_rule)."""
+                       salt: int | None = None) -> DataFrame:
+    """Repartition on host + url-hash salt: keeps per-host grouping for
+    cache locality while splitting mega-hosts across `salt` buckets
+    (defeats domain skew — north_rule).
+
+    The salt must scale with the parallelism: with a constant salt S, a
+    single dominant host can never occupy more than S partitions and adding
+    executors stops helping.  Default 4x the partition count so even a
+    one-host corpus spreads across every core."""
+    if salt is None:
+        salt = 4 * num_partitions
     host = F.parse_url(F.col("url"), F.lit("HOST"))
     key = F.concat_ws(
         "#", host,
@@ -133,7 +140,7 @@ def run_extract(
     spark,
     pages: DataFrame,
     num_partitions: int | None = None,
-    salt: int = 8,
+    salt: int | None = None,
     max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES,
     dedup: bool = True,
     done_keys: DataFrame | None = None,

@@ -136,19 +136,44 @@ def pages_df(spark, n_rows: int, seed: int = 42):
 
 
 def pages_parquet(spark, n_rows: int, seed: int = 42,
-                  cache_dir: str | None = None) -> str:
+                  cache_dir: str | None = None,
+                  rows_per_file: int = 8192) -> str:
     """Materialize the pages table as parquet (bench path: realistic scan,
-    column pruning, predicate pushdown).  Cached by (n_rows, seed)."""
+    column pruning, predicate pushdown).  Written chunked with pyarrow
+    directly — no driver-side createDataFrame of the whole table.
+    Cached by (n_rows, seed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     cache_root = pathlib.Path(
         cache_dir or os.environ.get("SPARK_GRAFT_CACHE",
                                     str(_REPO_ROOT / "build"))
     )
     out = cache_root / f"pages_n{n_rows}_s{seed}.parquet"
-    if not (out / "_SUCCESS").exists():
-        cache_root.mkdir(parents=True, exist_ok=True)
-        pages_df(spark, n_rows, seed).repartition(32).write.mode(
-            "overwrite"
-        ).parquet(str(out))
+    marker = out / "_DONE"
+    if not marker.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        schema = pa.schema([
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ])
+        rows = synth_rows(n_rows, seed)
+        for fi, start in enumerate(range(0, len(rows), rows_per_file)):
+            chunk = rows[start:start + rows_per_file]
+            cols = list(zip(*chunk))
+            table = pa.Table.from_arrays(
+                [pa.array(cols[0], pa.string()),
+                 pa.array(cols[1], pa.timestamp("us")),
+                 pa.array(cols[2], pa.binary()),
+                 pa.array(cols[3], pa.string()),
+                 pa.array(cols[4], pa.string())],
+                schema=schema,
+            )
+            pq.write_table(table, out / f"part-{fi:05d}.parquet")
+        marker.touch()
     return str(out)
 
 

@@ -23,6 +23,9 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     # Read-side split sizing for the 100 TB case: 128 MB splits.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Single-JVM local mode: the driver hosts the executors too.
+    "spark.driver.memory": "8g",
+    "spark.driver.maxResultSize": "4g",
 }
 
 

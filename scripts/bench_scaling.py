@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors; sandbox stand-in = local[8]
+vs local[32] on the same input).
+
+Orchestrator mode (default): materializes the pages parquet once, then for
+each parallelism level launches a COLD JVM subprocess (worker mode) that
+runs 1 warm-up + `--runs` timed executions of the extraction pipeline and
+reports the median.  Writes BENCH/BASELINE.md.
+
+Worker mode: --worker --cpus N --pages PATH --runs K -> one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def worker(cpus: int, pages_path: str, runs: int) -> None:
+    from pyspark.sql import functions as F
+
+    from crystal_html5_spark.sparkjob.extract_job import run_extract
+    from crystal_html5_spark.sparkjob.session import get_spark
+
+    spark = get_spark(f"scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_path)
+
+    def one() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        row = run_extract(spark, pages, num_partitions=cpus).agg(
+            F.count("*").alias("n"), F.sum(F.length("text")).alias("b"),
+        ).collect()[0]
+        return time.perf_counter() - t0, row["n"]
+
+    one()  # warm-up
+    times = []
+    n = 0
+    for _ in range(runs):
+        t, n = one()
+        times.append(t)
+    print(json.dumps({
+        "cpus": cpus, "median_sec": statistics.median(times),
+        "times": times, "docs": n,
+        "docs_per_sec": n / statistics.median(times),
+    }))
+    spark.stop()
+
+
+def orchestrate(n_pages: int, runs: int) -> None:
+    from crystal_html5_spark.sparkjob.pages import pages_parquet
+    from crystal_html5_spark.sparkjob.session import get_spark
+
+    spark = get_spark("scale-prep", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = pages_parquet(spark, n_pages)
+    spark.stop()
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+             "--pages", pages_path, "--runs", str(runs)],
+            capture_output=True, text=True, check=True, cwd=str(REPO),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    t8 = results[8]["median_sec"]
+    t32 = results[32]["median_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    md = f"""# BENCH — N vs 4N scaling (sandbox stand-in: local[8] vs local[32])
+
+Input: {n_pages} deterministic synthetic pages (seed 42), same parquet for
+both levels.  Job: scan -> latest-capture dedup -> salted host repartition
+-> mapInArrow (tokenize + tree construction + inner_text/main_text) -> agg.
+Cold JVM per level; 1 warm-up + {runs} timed runs, median reported.
+
+| parallelism | median sec | docs/sec |
+| --- | --- | --- |
+| local[8]  (N)  | {t8:.2f} | {results[8]['docs_per_sec']:.0f} |
+| local[32] (4N) | {t32:.2f} | {results[32]['docs_per_sec']:.0f} |
+
+Scaling efficiency `(T_8 / T_32) / 4` = **{eff:.2f}**
+(target >= 0.8 per BASELINE.json).
+
+Raw: {json.dumps(results)}
+"""
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(f"efficiency={eff:.3f}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--pages", type=str, default="")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--n-pages", type=int, default=60000)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cpus, args.pages, args.runs)
+    else:
+        orchestrate(args.n_pages, args.runs)

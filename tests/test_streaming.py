@@ -1,0 +1,70 @@
+"""Structured Streaming extraction: availableNow micro-batch run over a
+file source, checkpointed resume picks up only new files."""
+
+import pathlib
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from crystal_html5_spark.html5x.extract import extract_document  # noqa: E402
+from crystal_html5_spark.sparkjob.pages import synth_rows  # noqa: E402
+from crystal_html5_spark.sparkjob.session import get_spark  # noqa: E402
+from crystal_html5_spark.sparkjob.streaming import start_stream  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("streaming-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def _write_chunk(rows, path: pathlib.Path, name: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    table = pa.Table.from_arrays(
+        [pa.array(cols[0], pa.string()),
+         pa.array(cols[1], pa.timestamp("us")),
+         pa.array(cols[2], pa.binary()),
+         pa.array(cols[3], pa.string()),
+         pa.array(cols[4], pa.string())],
+        names=["url", "warc_ts", "html", "text", "lang"],
+    )
+    path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, path / name)
+
+
+def test_stream_extract_and_resume(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    input_dir = base / "in"
+    output_dir = str(base / "out")
+    checkpoint = str(base / "cp")
+
+    rows = synth_rows(120)
+    _write_chunk(rows[:80], input_dir, "batch0.parquet")
+
+    q = start_stream(spark, str(input_dir), output_dir, checkpoint)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(output_dir)
+    n1 = out1.count()
+    assert n1 == len({(u, t) for u, t, *_ in rows[:80]})
+
+    # byte-identity spot check against the pure-python core
+    sample = out1.limit(20).collect()
+    by_key = {(u, t): h for u, t, h, *_ in rows[:80]}
+    for r in sample:
+        want = extract_document(by_key[(r["url"], r["warc_ts"])] or b"")
+        assert bytes(r["text"] or b"") == want["text"]
+
+    # resume: add a second file; only the new captures are processed
+    _write_chunk(rows[80:], input_dir, "batch1.parquet")
+    q2 = start_stream(spark, str(input_dir), output_dir, checkpoint)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(output_dir).count()
+    new_keys = {(u, t) for u, t, *_ in rows[80:]}
+    old_keys = {(u, t) for u, t, *_ in rows[:80]}
+    assert n2 == n1 + len(new_keys - old_keys)
