@@ -73,7 +73,10 @@ def s2b(s: str) -> bytes:
 
 
 def lower_bytes(b: bytes) -> bytes:
-    """Unicode-lowercase (escape.cr:214-216 String#downcase semantics)."""
+    """Unicode-lowercase (escape.cr:214-216 String#downcase semantics).
+    ASCII fast path: bytes.lower() is identical for pure-ASCII input."""
+    if b.isascii():
+        return b.lower()
     return s2b(b2s(b).lower())
 
 

@@ -36,22 +36,29 @@ DEFAULT_MAX_DOC_BYTES = 64 * 1024 * 1024
 _TARGET_OUT_BATCH_BYTES = 32 * 1024 * 1024
 
 
-def make_extract_fn(max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES):
+def make_extract_fn(max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES,
+                    dedup_consecutive: bool = False):
     """Build the mapInArrow function (Iterator[RecordBatch] ->
     Iterator[RecordBatch]); one Python worker per partition, zero per-row
-    Python objects crossing the wire."""
+    Python objects crossing the wire.
+
+    With ``dedup_consecutive`` the input is expected sorted by
+    (url, warc_ts desc) within the partition; the first row of each url
+    group (the latest capture) wins and the rest are skipped — this is the
+    single-shuffle dedup path (see run_extract)."""
 
     def extract_batches(iterator):
         import pyarrow as pa
 
         from crystal_html5_spark.html5x.extract import extract_document
 
+        last_url = None
         for batch in iterator:
             urls = batch.column("url").to_pylist()
             tss = batch.column("warc_ts")
             htmls = batch.column("html").to_pylist()
 
-            start = 0
+            keep_idx: list[int] = []
             acc_bytes = 0
             texts: list[bytes] = []
             mains: list[str] = []
@@ -60,14 +67,13 @@ def make_extract_fn(max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES):
             errs: list[str] = []
             parse_ms: list[float] = []
 
-            def flush(end: int):
-                n = end - start
-                if n == 0:
+            def flush():
+                if not keep_idx:
                     return None
                 return pa.RecordBatch.from_arrays(
                     [
-                        pa.array(urls[start:end], pa.string()),
-                        tss.slice(start, n),
+                        pa.array([urls[i] for i in keep_idx], pa.string()),
+                        tss.take(pa.array(keep_idx, pa.int32())),
                         pa.array(texts, pa.binary()),
                         pa.array(mains, pa.string()),
                         pa.array(n_nodes, pa.int32()),
@@ -82,8 +88,14 @@ def make_extract_fn(max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES):
                 )
 
             for i, h in enumerate(htmls):
+                u = urls[i]
+                if dedup_consecutive:
+                    if u == last_url:
+                        continue  # older capture of the same url
+                    last_url = u
                 h = h or b""
                 r = extract_document(h, max_doc_bytes=max_doc_bytes)
+                keep_idx.append(i)
                 texts.append(r["text"])
                 mains.append(r["main_text"])
                 n_nodes.append(r["n_nodes"])
@@ -92,14 +104,14 @@ def make_extract_fn(max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES):
                 parse_ms.append(r["parse_ms"])
                 acc_bytes += len(h) + len(r["text"])
                 if acc_bytes >= _TARGET_OUT_BATCH_BYTES:
-                    out = flush(i + 1)
+                    out = flush()
                     if out is not None:
                         yield out
-                    start = i + 1
+                    keep_idx = []
                     acc_bytes = 0
                     texts, mains, n_nodes = [], [], []
                     html_bytes, errs, parse_ms = [], [], []
-            out = flush(len(htmls))
+            out = flush()
             if out is not None:
                 yield out
 
@@ -145,8 +157,27 @@ def run_extract(
     dedup: bool = True,
     done_keys: DataFrame | None = None,
 ) -> DataFrame:
-    """Full pipeline: prune -> resume-filter -> dedup -> salt -> extract."""
+    """Full pipeline: prune -> [resume-filter ->] dedup -> salt -> extract.
+
+    Hot path (no resume): ONE shuffle.  The salted key is a pure function
+    of url, so every capture of a url lands in the same partition; a
+    partition-local sort on (url, warc_ts desc) plus skip-consecutive in
+    the UDF implements latest-capture dedup without the window's second
+    full-data exchange.  The resume path (done_keys) keeps the explicit
+    window dedup so the anti-join can run on exact (url, warc_ts) keys
+    after it.
+    """
     cols = pages.select("url", "warc_ts", "html")
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    if dedup and done_keys is None:
+        salted = salted_repartition(cols, n, salt)
+        local_sorted = salted.sortWithinPartitions(
+            "url", F.desc("warc_ts")
+        )
+        return local_sorted.mapInArrow(
+            make_extract_fn(max_doc_bytes, dedup_consecutive=True),
+            RESULT_SCHEMA_DDL,
+        )
     if dedup:
         cols = dedup_latest_capture(cols)
     if done_keys is not None:
@@ -156,7 +187,6 @@ def run_extract(
             F.broadcast(done_keys.select("url", "warc_ts").distinct()),
             ["url", "warc_ts"], "left_anti",
         )
-    n = num_partitions or spark.sparkContext.defaultParallelism
     salted = salted_repartition(cols, n, salt)
     return salted.mapInArrow(make_extract_fn(max_doc_bytes),
                              RESULT_SCHEMA_DDL)
