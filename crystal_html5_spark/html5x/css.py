@@ -609,7 +609,9 @@ class SelectorSequence(Matcher):
             selected.append(n)
         c = n.first_child
         while c is not None:
-            if self.matches(c) and not _node_in(selected, c):
+            # NOTE: no dedup on the child append (selector.cr:78) — matches
+            # accumulated across selector groups may repeat, by design.
+            if self.matches(c):
                 selected.append(c)
             selected = self.select(c, selected)
             c = c.next_sibling
