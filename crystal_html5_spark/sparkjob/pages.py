@@ -137,7 +137,7 @@ def pages_df(spark, n_rows: int, seed: int = 42):
 
 def pages_parquet(spark, n_rows: int, seed: int = 42,
                   cache_dir: str | None = None,
-                  rows_per_file: int = 8192) -> str:
+                  rows_per_file: int = 2048) -> str:
     """Materialize the pages table as parquet (bench path: realistic scan,
     column pruning, predicate pushdown).  Written chunked with pyarrow
     directly — no driver-side createDataFrame of the whole table.

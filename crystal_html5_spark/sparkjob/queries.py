@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .extract_job import run_extract
+from .multimodal import media_features_query as _media_features
 from .pages import n_pages_for_sf, pages_df
 
 TABLES = (
@@ -456,6 +457,8 @@ QUERIES: dict = {
     # similarity search over embeddings
     "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
     "ann_lsh_buckets": _ann_lsh_buckets,
+    # multimodal: binary media column -> Pandas-UDF feature extraction
+    "media_features": _media_features,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
     "extract_pages": _extract_pages,
     "page_links": _page_links,

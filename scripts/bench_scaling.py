@@ -38,7 +38,9 @@ def worker(cpus: int, pages_path: str, runs: int) -> None:
 
     def one() -> tuple[float, int]:
         t0 = time.perf_counter()
-        row = run_extract(spark, pages, num_partitions=cpus).agg(
+        # 4 tasks per core: stragglers from per-partition byte variance get
+        # load-balanced by the scheduler instead of idling the other cores.
+        row = run_extract(spark, pages, num_partitions=4 * cpus).agg(
             F.count("*").alias("n"), F.sum(F.length("text")).alias("b"),
         ).collect()[0]
         return time.perf_counter() - t0, row["n"]
