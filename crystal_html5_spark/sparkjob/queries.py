@@ -260,6 +260,77 @@ GROUP BY sig1 || sig2
 ORDER BY band
 """
 
+# 16-bit SimHash from the first 4 hex digits of each word's md5: per bit,
+# words vote +1/-1; bit set iff the vote sum is >= 0.  Engine-portable:
+# hex digit -> int via instr('0123456789abcdef', ...) - 1.
+def _simhash_sql(words_src: str) -> str:
+    digit = "instr('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1"
+    sums = []
+    for j in range(16):
+        hexpos = 1 + j // 4
+        bitpos = 3 - (j % 4)  # high bit first within the digit
+        d = digit.format(pos=hexpos)
+        bit = f"CAST(FLOOR(({d}) / {1 << bitpos}) AS INT) % 2"
+        sums.append(
+            f"SUM(CASE WHEN ({bit}) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        )
+    votes = ", ".join(sums)
+    total = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << (15 - j)} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM ({words_src}) t
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash16
+FROM votes ORDER BY doc_id
+"""
+
+
+_WORDS_SRC_SPARK = (
+    "SELECT doc_id, w FROM documents "
+    "LATERAL VIEW explode(regexp_extract_all(text, '\\\\S+', 0)) t AS w"
+)
+_WORDS_SRC_DUCK = (
+    r"SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w"
+    " FROM documents"
+)
+
+_DOCS_SIMHASH_SPARK = _simhash_sql(_WORDS_SRC_SPARK)
+_DOCS_SIMHASH_DUCK = _simhash_sql(_WORDS_SRC_DUCK)
+
+# Near-dup candidate PAIRS: docs whose minhash band (sig1+sig2) collides,
+# emitted as ordered (a, b) pairs with their full-signature agreement.
+_DOCS_NEAR_DUP_PAIRS_SPARK = f"""
+WITH sigs AS ({_DOCS_MINHASH_SPARK.replace('ORDER BY doc_id', '')})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((CASE WHEN a.sig1 = b.sig1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.sig2 = b.sig2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.sig4 = b.sig4 THEN 1 ELSE 0 END) AS INT)
+         AS n_sig_agree
+FROM sigs a JOIN sigs b
+  ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+_DOCS_NEAR_DUP_PAIRS_DUCK = f"""
+WITH sigs AS ({_DOCS_MINHASH_DUCK.replace('ORDER BY doc_id', '')})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((CASE WHEN a.sig1 = b.sig1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.sig2 = b.sig2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.sig4 = b.sig4 THEN 1 ELSE 0 END) AS INT)
+         AS n_sig_agree
+FROM sigs a JOIN sigs b
+  ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
 _ANN_TOPK_SPARK = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -298,6 +369,68 @@ SELECT vec_id, rank FROM (
 WHERE rank <= 10
 ORDER BY rank
 """
+
+
+def _ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
+    """The ANN scale path end-to-end: LSH-bucket all vectors with seeded
+    hyperplanes, then brute-force cosine top-k ONLY within the query
+    vector's bucket (candidate set ~ N/2^bits instead of N).  At 100 TB the
+    bucket column is the shuffle/bucketing key; here the whole flow runs
+    vectorized in numpy over Arrow batches.  Rows-only check."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def topk(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(42)
+        planes = rng.standard_normal((8, 64))
+        ids_all = []
+        sims_all = []
+        qv = None
+        mats = []
+        idl = []
+        for batch in iterator:
+            vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+            mat = np.array(batch.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            if mat.size == 0:
+                continue
+            mats.append(mat)
+            idl.append(vec_ids)
+        if not mats:
+            return
+        mat = np.concatenate(mats)
+        vec_ids = np.concatenate(idl)
+        qpos = np.flatnonzero(vec_ids == 0)
+        if qpos.size == 0:
+            return
+        qv = mat[qpos[0]]
+        bits = (mat @ planes.T) >= 0
+        buckets = bits.dot(1 << np.arange(8))
+        qbucket = buckets[qpos[0]]
+        cand = buckets == qbucket
+        cm = mat[cand]
+        cids = vec_ids[cand]
+        sims = (cm @ qv) / (
+            np.linalg.norm(cm, axis=1) * np.linalg.norm(qv) + 1e-12
+        )
+        order = np.lexsort((cids, -sims))[:10]
+        ids_all = cids[order]
+        sims_all = sims[order]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids_all.astype("int64")),
+             pa.array(np.arange(1, len(ids_all) + 1, dtype="int64")),
+             pa.array(np.round(sims_all, 6))],
+            names=["vec_id", "rank", "cosine"],
+        )
+
+    # single partition: the bucket prune makes the candidate set tiny
+    return (
+        emb.select("vec_id", "embedding").coalesce(1)
+        .mapInArrow(topk, "vec_id bigint, rank bigint, cosine double")
+        .orderBy("rank")
+    )
 
 
 def _ann_lsh_buckets(spark, sf_dir: str) -> DataFrame:
@@ -454,9 +587,12 @@ QUERIES: dict = {
     "docs_fingerprint": _sql(_DOCS_FINGERPRINT_SPARK),
     "docs_minhash_sigs": _sql(_DOCS_MINHASH_SPARK),
     "docs_minhash_bands": _sql(_DOCS_MINHASH_BANDS_SPARK),
+    "docs_simhash": _sql(_DOCS_SIMHASH_SPARK),
+    "docs_near_dup_pairs": _sql(_DOCS_NEAR_DUP_PAIRS_SPARK),
     # similarity search over embeddings
     "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
     "ann_lsh_buckets": _ann_lsh_buckets,
+    "ann_lsh_topk": _ann_lsh_topk,
     # multimodal: binary media column -> Pandas-UDF feature extraction
     "media_features": _media_features,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
@@ -483,6 +619,8 @@ ORACLES: dict = {
     "docs_fingerprint": _DOCS_FINGERPRINT_DUCK,
     "docs_minhash_sigs": _DOCS_MINHASH_DUCK,
     "docs_minhash_bands": _DOCS_MINHASH_BANDS_DUCK,
+    "docs_simhash": _DOCS_SIMHASH_DUCK,
+    "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
     "ann_cosine_topk": _ANN_TOPK_DUCK,
     # ann_lsh_buckets, extract_pages, page_links, page_titles,
     # extract_lang_stats: non-SQL-expressible -> rows-only.
