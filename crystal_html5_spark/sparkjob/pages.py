@@ -38,13 +38,20 @@ _ARTICLE_SENTENCES = [
 
 
 def _compose_realistic(rng: random.Random, i: int) -> bytes:
-    """An article wrapped in boilerplate, to exercise main-content strip."""
-    n_paras = 1 + rng.randrange(6)
+    """An article wrapped in boilerplate, to exercise main-content strip.
+    Sized like a real web page (~3-12 KB of markup), so benchmarks see a
+    Common-Crawl-like compute/row ratio."""
+    n_paras = 4 + rng.randrange(24)
     paras = []
-    for _ in range(n_paras):
-        k = 1 + rng.randrange(len(_ARTICLE_SENTENCES))
-        paras.append("<p>" + " ".join(rng.sample(_ARTICLE_SENTENCES, k))
-                     + "</p>")
+    for p in range(n_paras):
+        k = 2 + rng.randrange(10)
+        sents = rng.choices(_ARTICLE_SENTENCES, k=k)
+        if p % 5 == 0:
+            paras.append(f"<h2>Section {p}</h2>")
+        paras.append(
+            "<p>" + " ".join(sents)
+            + f' <a href="/ref/{i}/{p}">source</a></p>'
+        )
     body = "\n".join(paras)
     return (
         f"<!DOCTYPE html><html><head><title>Page {i}</title>"
