@@ -74,3 +74,17 @@ def test_attribute_mode_entities():
         b"q=z&amp=5&notice=hello\xc2\xac=world"
     )
     assert unescape(b"&notit;&notin;", False) == "¬it;∉".encode()
+
+
+def test_numeric_wrap_and_edge_codepoints():
+    # Int32-wrapping accumulation (reference escape.cr:107-110): huge
+    # numerics wrap; anything outside [1, 0x10FFFF] or surrogate -> U+FFFD.
+    assert unescape_string("&#9999999999;") == "�"  # wraps positive
+    assert unescape_string("&#4294967296;") == "�"  # wraps to 0
+    assert unescape_string("&#x110000;") == "�"     # out of range
+    assert unescape_string("&#xD800;") == "�"       # surrogate
+    assert unescape_string("&#x80;") == "€"         # Win-1252 remap
+    assert unescape_string("&#x9F;") == "Ÿ"
+    assert unescape_string("&#x7F;") == "\x7f"           # disallowed kept
+    assert unescape_string("&#xFDD0;") == "﷐"       # noncharacter kept
+    assert unescape_string("&#0;") == "�"
