@@ -137,6 +137,11 @@ class Token:
         raise ValueError("invalid token")
 
 
+# Interned (raw bytes -> lowered str [, atom]) caches shared per process.
+_NAME_CACHE: dict[bytes, tuple[str, str]] = {}
+_KEY_CACHE: dict[bytes, str] = {}
+
+
 class Tokenizer:
     """Tokenizes one in-memory UTF-8 document (token.cr:96-1047)."""
 
@@ -841,20 +846,44 @@ class Tokenizer:
         return None, None, False
 
     def token(self) -> Token:
-        """Materialize the current token (token.cr:1018-1040)."""
-        t = Token(type=self.tt)
-        if self.tt in (TEXT, COMMENT, DOCTYPE):
+        """Materialize the current token (token.cr:1018-1040).
+
+        Tag/attr-key names are interned through a raw-bytes cache (the
+        Python counterpart of the reference's atom interning): repeated
+        names skip the lower/decode/lookup work entirely."""
+        tt = self.tt
+        t = Token(type=tt)
+        if tt in (TEXT, COMMENT, DOCTYPE):
             t.data = b2s(self.text() or b"")
-        elif self.tt in (START_TAG, SELF_CLOSING_TAG, END_TAG):
-            name, more_attr = self.tag_name()
-            while more_attr:
-                key, val, more_attr = self.tag_attr()
-                if key is not None and val is not None:
-                    t.attr.append(Attribute("", b2s(key), b2s(val)))
-            name_s = b2s(name or b"")
-            a = atom_lookup(name_s)
+        elif tt in (START_TAG, SELF_CLOSING_TAG, END_TAG):
+            buf = self.buf
+            if self.data_start < self.data_end:
+                raw_name = buf[self.data_start:self.data_end]
+            else:
+                raw_name = b""
+            self.data_start = self.pos
+            self.data_end = self.pos
+            cached = _NAME_CACHE.get(raw_name)
+            if cached is None:
+                name_s = b2s(lower_bytes(raw_name))
+                cached = (name_s, atom_lookup(name_s))
+                if len(_NAME_CACHE) < 8192:
+                    _NAME_CACHE[raw_name] = cached
+            name_s, a = cached
             if a:
-                t.data_atom, t.data = a, a
+                t.data_atom = t.data = a
             else:
                 t.data_atom, t.data = "", name_s
+            if tt != END_TAG and self.n_attr_returned < len(self.attr):
+                append = t.attr.append
+                for ks, ke, vs, ve in self.attr[self.n_attr_returned:]:
+                    raw_key = buf[ks:ke]
+                    key_s = _KEY_CACHE.get(raw_key)
+                    if key_s is None:
+                        key_s = b2s(lower_bytes(raw_key))
+                        if len(_KEY_CACHE) < 8192:
+                            _KEY_CACHE[raw_key] = key_s
+                    val = unescape(convert_new_lines(buf[vs:ve]), True)
+                    append(Attribute("", key_s, b2s(val)))
+                self.n_attr_returned = len(self.attr)
         return t
