@@ -111,6 +111,31 @@ ORDER BY event_type
 
 # ------------------------ training-data ops ------------------------------
 
+# Gaps-and-islands sessionization (30-min inactivity gap) — the batch
+# counterpart of the streaming applyInPandasWithState operator.
+_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                OR ts > lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                     + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, sess_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id
+"""
+
 _DOCS_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
        COUNT(*) AS n_copies
@@ -328,6 +353,77 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          AS n_sig_agree
 FROM sigs a JOIN sigs b
   ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+# Exact 3-gram Jaccard verification of the minhash band candidates: the
+# candidate pairs are cheap (band join), the expensive exact set
+# intersection runs only on those pairs.  Integer outputs (Jaccard in
+# 1/1000ths via FLOOR) keep the oracle hash-stable.
+_DOCS_JACCARD_VERIFY_SPARK = f"""
+WITH sigs AS ({_DOCS_MINHASH_SPARK.replace('ORDER BY doc_id', '')}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
+),
+words AS (
+  SELECT doc_id, pos, w
+  FROM documents
+  LATERAL VIEW posexplode(regexp_extract_all(text, '\\\\S+', 0)) t AS pos, w
+),
+sh AS (
+  SELECT doc_id, collect_set(s) AS shingles FROM (
+    SELECT doc_id,
+           concat_ws(' ', w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM words) x
+  WHERE w3 IS NOT NULL GROUP BY doc_id
+)
+SELECT doc_a, doc_b,
+       size(array_intersect(a.shingles, b.shingles)) AS n_common,
+       size(a.shingles) AS n_a, size(b.shingles) AS n_b,
+       CAST(FLOOR(1000.0 * size(array_intersect(a.shingles, b.shingles))
+            / (size(a.shingles) + size(b.shingles)
+               - size(array_intersect(a.shingles, b.shingles))))
+            AS BIGINT) AS jaccard_millis
+FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+_DOCS_JACCARD_VERIFY_DUCK = f"""
+WITH sigs AS ({_DOCS_MINHASH_DUCK.replace('ORDER BY doc_id', '')}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
+),
+words AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) - 1 AS pos,
+         unnest(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list(DISTINCT s) AS shingles FROM (
+    SELECT doc_id,
+           concat_ws(' ', w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM words) x
+  WHERE w3 IS NOT NULL GROUP BY doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(a.shingles, b.shingles)) AS n_common,
+       len(a.shingles) AS n_a, len(b.shingles) AS n_b,
+       CAST(FLOOR(1000.0 * len(list_intersect(a.shingles, b.shingles))
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))))
+            AS BIGINT) AS jaccard_millis
+FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -578,6 +674,7 @@ QUERIES: dict = {
     "top_orders_per_customer": _sql(_TOP_ORDERS_PER_CUSTOMER),
     "latest_event_per_user": _sql(_LATEST_EVENT_PER_USER),
     "event_type_stats": _sql(_EVENT_TYPE_STATS),
+    "events_sessionize": _sql(_EVENTS_SESSIONIZE),
     # training-data ops over documents
     "docs_dedup_exact": _sql(_DOCS_DEDUP_EXACT),
     "docs_token_stats": _sql(_DOCS_TOKEN_STATS_SPARK),
@@ -589,6 +686,7 @@ QUERIES: dict = {
     "docs_minhash_bands": _sql(_DOCS_MINHASH_BANDS_SPARK),
     "docs_simhash": _sql(_DOCS_SIMHASH_SPARK),
     "docs_near_dup_pairs": _sql(_DOCS_NEAR_DUP_PAIRS_SPARK),
+    "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
     # similarity search over embeddings
     "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
     "ann_lsh_buckets": _ann_lsh_buckets,
@@ -611,6 +709,7 @@ ORACLES: dict = {
     "top_orders_per_customer": _TOP_ORDERS_PER_CUSTOMER,
     "latest_event_per_user": _LATEST_EVENT_PER_USER,
     "event_type_stats": _EVENT_TYPE_STATS,
+    "events_sessionize": _EVENTS_SESSIONIZE,
     "docs_dedup_exact": _DOCS_DEDUP_EXACT,
     "docs_token_stats": _DOCS_TOKEN_STATS_DUCK,
     "docs_quality": _DOCS_QUALITY_DUCK,
@@ -621,6 +720,7 @@ ORACLES: dict = {
     "docs_minhash_bands": _DOCS_MINHASH_BANDS_DUCK,
     "docs_simhash": _DOCS_SIMHASH_DUCK,
     "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
+    "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
     "ann_cosine_topk": _ANN_TOPK_DUCK,
     # ann_lsh_buckets, extract_pages, page_links, page_titles,
     # extract_lang_stats: non-SQL-expressible -> rows-only.

@@ -48,6 +48,87 @@ def stream_extract(pages: DataFrame,
                               RESULT_SCHEMA_DDL)
 
 
+SESSION_OUTPUT_DDL = (
+    "user_id bigint, session_start timestamp, session_end timestamp,"
+    " n_events int, sum_value double"
+)
+SESSION_STATE_DDL = (
+    "start timestamp, end timestamp, n int, sv double"
+)
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: per-user session windows with an
+    inactivity gap, via applyInPandasWithState (the streaming counterpart
+    of the batch gaps-and-islands query `events_sessionize`).
+
+    Emits a row when a session CLOSES — either because a newer event
+    arrived past the gap, or because event time advanced past the
+    session's timeout."""
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = dt.timedelta(minutes=gap_minutes)
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        cols = ["user_id", "session_start", "session_end", "n_events",
+                "sum_value"]
+        rows = []
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, end, n, sv = state.get
+            state.remove()
+            rows.append((user_id, start, end, n, sv))
+        else:
+            ts_list: list = []
+            val_list: list = []
+            for pdf in pdfs:
+                ts_list.extend(pdf["ts"])
+                val_list.extend(pdf["value"])
+            order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+            if state.exists:
+                start, end, n, sv = state.get
+            else:
+                start = end = None
+                n, sv = 0, 0.0
+            for i in order:
+                t = ts_list[i].to_pydatetime()
+                v = float(val_list[i])
+                if start is None:
+                    start = end = t
+                    n, sv = 1, v
+                elif t - end > gap:
+                    rows.append((user_id, start, end, n, sv))
+                    start = end = t
+                    n, sv = 1, v
+                else:
+                    if t > end:
+                        end = t
+                    n += 1
+                    sv += v
+            if start is not None:
+                state.update((start, end, n, sv))
+                state.setTimeoutTimestamp(
+                    int(end.timestamp() * 1000) + gap_minutes * 60_000
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        # watermarks require TIMESTAMP (tz), not TIMESTAMP_NTZ
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUTPUT_DDL, SESSION_STATE_DDL, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
                  checkpoint_dir: str, available_now: bool = True,
                  max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES):

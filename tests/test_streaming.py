@@ -68,3 +68,63 @@ def test_stream_extract_and_resume(spark, tmp_path_factory):
     new_keys = {(u, t) for u, t, *_ in rows[80:]}
     old_keys = {(u, t) for u, t, *_ in rows[:80]}
     assert n2 == n1 + len(new_keys - old_keys)
+
+
+def test_stateful_sessionization(spark, tmp_path_factory):
+    """applyInPandasWithState sessions == batch gaps-and-islands sessions
+    (closed sessions; each user's final session may stay open in state)."""
+    import shutil
+
+    base = tmp_path_factory.mktemp("sessions")
+    in_dir = base / "events"
+    in_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                in_dir / "events.parquet")
+
+    from crystal_html5_spark.sparkjob.queries import QUERIES
+    from crystal_html5_spark.sparkjob.streaming import (
+        SESSION_OUTPUT_DDL,
+        sessionize_stream,
+    )
+
+    batch = QUERIES["events_sessionize"](spark, "/root/testdata/sf0.001")
+    batch_rows = batch.collect()
+    # A session closes in the stream when (a) a later event of the same
+    # user starts a new session, or (b) the final watermark
+    # (max event time - 1h delay) passes session_end + gap.
+    import datetime as dt
+
+    max_ts = max(r["session_end"] for r in batch_rows)
+    final_watermark = max_ts - dt.timedelta(hours=1)
+    gap = dt.timedelta(minutes=30)
+    last_sess = {}
+    for r in batch_rows:
+        last_sess[r["user_id"]] = max(
+            last_sess.get(r["user_id"], 0), r["sess_id"]
+        )
+    expect_closed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_rows
+        if r["sess_id"] != last_sess[r["user_id"]]
+        or r["session_end"] + gap < final_watermark
+    }
+
+    schema = spark.read.parquet(str(in_dir)).schema
+    events = spark.readStream.schema(schema).parquet(str(in_dir))
+    out_dir = str(base / "out")
+    cp = str(base / "cp")
+    q = (
+        sessionize_stream(events)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.schema(SESSION_OUTPUT_DDL).parquet(out_dir).collect()
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    assert got_set == expect_closed
