@@ -12,7 +12,20 @@ the driver's rows-only check).
 
 from __future__ import annotations
 
+import os
+import pathlib
+import sys
 from collections.abc import Callable
+
+# Make the package importable for this process AND for executor Python
+# workers (which inherit PYTHONPATH), wherever the harness runs from.
+_REPO = str(pathlib.Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction job (north_star: deployed
+via spark-submit --py-files at N and 4N executors).
+
+Usage:
+    python scripts/package_pyfiles.py             # build build/html5x.zip
+    spark-submit --master local[8] \
+        --py-files build/html5x.zip \
+        scripts/submit_extract.py \
+        --pages <pages parquet> --out <output dir> [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--salt", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("html5x-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from crystal_html5_spark.sparkjob.extract_job import (
+        read_done_keys,
+        run_extract,
+        write_with_lineage,
+    )
+
+    pages = spark.read.parquet(args.pages)
+    done = read_done_keys(spark, args.out) if args.resume else None
+    out = run_extract(
+        spark, pages, num_partitions=args.partitions, salt=args.salt,
+        done_keys=done,
+    )
+    write_with_lineage(out, args.out)
+    n = spark.read.parquet(f"{args.out}/extracted").count()
+    print(f"extracted_total={n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
