@@ -66,6 +66,47 @@ def count_nodes(doc: Node) -> int:
     return n
 
 
+def _utf8_safe(s: str) -> str:
+    """Strings going into Arrow string columns must be valid UTF-8; lone
+    surrogates (from invalid input bytes, via surrogateescape) become
+    U+FFFD instead of crashing the UDF mid-task."""
+    if s.isascii():
+        return s
+    return s.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+
+
+def _extract_all(doc: Node) -> tuple[str, str, int]:
+    """One document-order walk computing inner_text, main_text and the
+    node count together (sibling-pointer traversal, no child lists)."""
+    text_parts: list[str] = []
+    main_parts: list[str] = []
+    n_nodes = -1  # exclude the Document node itself
+    # stack entries: (node, in_main) — in_main False inside boilerplate
+    stack: list = [(doc, True)]
+    pop = stack.pop
+    push = stack.append
+    while stack:
+        n, in_main = pop()
+        n_nodes += 1
+        sib = n.next_sibling
+        if sib is not None and n is not doc:
+            push((sib, in_main))
+        t = n.type
+        if t == TEXT_NODE:
+            text_parts.append(n.data)
+            if in_main:
+                main_parts.append(n.data)
+            continue
+        if t == COMMENT_NODE:
+            continue
+        if in_main and n.namespace == "" and n.data in BOILERPLATE_TAGS:
+            in_main = False
+        c = n.first_child
+        if c is not None:
+            push((c, in_main))
+    return "".join(text_parts), "".join(main_parts), n_nodes
+
+
 def extract_document(html: bytes, max_doc_bytes: int = 0) -> dict:
     """Parse one document and extract text + metrics.
 
@@ -77,12 +118,11 @@ def extract_document(html: bytes, max_doc_bytes: int = 0) -> dict:
         p = Parser(html, max_buf=max_doc_bytes)
         p.parse()
         doc = p.doc
-        text = inner_text_bytes(doc)
-        main = main_text(doc)
+        text, main, n_nodes = _extract_all(doc)
         return {
-            "text": text,
-            "main_text": main,
-            "n_nodes": count_nodes(doc) - 1,  # exclude the Document node
+            "text": s2b(text),
+            "main_text": _utf8_safe(main),
+            "n_nodes": n_nodes,
             "err": "",
             "parse_ms": (time.perf_counter() - t0) * 1000.0,
         }
@@ -95,6 +135,8 @@ def extract_document(html: bytes, max_doc_bytes: int = 0) -> dict:
     except Exception as ex:  # noqa: BLE001 — error-row policy, never crash
         return {
             "text": b"", "main_text": "", "n_nodes": 0,
-            "err": f"parse_error: {type(ex).__name__}: {ex}"[:500],
+            "err": _utf8_safe(
+                f"parse_error: {type(ex).__name__}: {ex}"[:500]
+            ),
             "parse_ms": (time.perf_counter() - t0) * 1000.0,
         }
