@@ -53,6 +53,45 @@ def main_text(doc: Node) -> str:
     return "".join(out)
 
 
+DEFAULT_DROP_SELECTOR = (
+    "script, style, template, nav, header, footer, aside, form,"
+    " noscript, iframe"
+)
+
+
+def main_text_selector(doc: Node,
+                       drop_selector: str = DEFAULT_DROP_SELECTOR) -> str:
+    """Selector-driven main-content extraction: subtrees matched by
+    ``drop_selector`` (any CSS the engine supports — classes like
+    ``.sidebar``, attributes like ``[role=banner]``) are stripped, then
+    text serializes in document order.  The tag-set fast path
+    (``main_text``) is the production default; this variant makes the
+    boilerplate policy configurable per job."""
+    from .css import compile_selector
+
+    sel = compile_selector(drop_selector)
+    dropped = {id(n) for n in sel.select(doc)}
+    out: list[str] = []
+    stack = [doc]
+    while stack:
+        n = stack.pop()
+        if id(n) in dropped:
+            continue
+        t = n.type
+        if t == TEXT_NODE:
+            out.append(n.data)
+            continue
+        if t == COMMENT_NODE:
+            continue
+        kids = []
+        c = n.first_child
+        while c is not None:
+            kids.append(c)
+            c = c.next_sibling
+        stack.extend(reversed(kids))
+    return "".join(out)
+
+
 def count_nodes(doc: Node) -> int:
     n = 0
     stack = [doc]

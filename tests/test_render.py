@@ -72,3 +72,27 @@ def test_parse_render_roundtrip_stable():
         rendered = _render_doc(doc1)
         doc2 = parse(rendered)
         assert dump(doc2) == d1, f"page {i} not stable"
+
+
+def test_selector_driven_extraction():
+    from crystal_html5_spark.html5x.extract import (
+        DEFAULT_DROP_SELECTOR,
+        main_text,
+        main_text_selector,
+    )
+
+    html = (
+        "<html><head><style>.x{}</style></head><body>"
+        "<nav>menu</nav><div class='ad'>buy now</div>"
+        "<article>the story <span role='note'>aside note</span></article>"
+        "<footer>(c)</footer></body></html>"
+    )
+    doc = parse(html)
+    # default selector == tag-set fast path
+    assert main_text_selector(doc, DEFAULT_DROP_SELECTOR) == main_text(doc)
+    # custom policy: also strip .ad and [role=note]
+    custom = main_text_selector(
+        doc, DEFAULT_DROP_SELECTOR + ", .ad, [role=note]"
+    )
+    assert "buy now" not in custom and "aside note" not in custom
+    assert "the story" in custom
