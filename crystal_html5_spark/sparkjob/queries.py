@@ -647,6 +647,43 @@ def _page_titles(spark, sf_dir: str) -> DataFrame:
     return pages.mapInArrow(titles, "url string, title string").orderBy("url")
 
 
+def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
+    """The full Common-Crawl flow in one plan: parse+extract (Arrow UDF)
+    -> minhash near-dup grouping over the EXTRACTED main text (built-in
+    SQL, no second UDF).  Groups of pages whose extracted content
+    collides on all four 3-shingle minhash signatures."""
+    out = run_extract(spark, _pages(spark, sf_dir))
+    out.select("url", "main_text").createOrReplaceTempView("_extracted")
+    return spark.sql("""
+        WITH words AS (
+          SELECT url, pos, w
+          FROM _extracted
+          LATERAL VIEW posexplode(
+            regexp_extract_all(main_text, '\\\\S+', 0)) t AS pos, w
+        ), shingles AS (
+          SELECT url,
+                 concat_ws(' ', w,
+                   lead(w, 1) OVER (PARTITION BY url ORDER BY pos),
+                   lead(w, 2) OVER (PARTITION BY url ORDER BY pos)) AS s,
+                 lead(w, 2) OVER (PARTITION BY url ORDER BY pos) AS w3
+          FROM words
+        ), sigs AS (
+          SELECT url,
+                 min(md5(concat(s, '#1'))) AS sig1,
+                 min(md5(concat(s, '#2'))) AS sig2,
+                 min(md5(concat(s, '#3'))) AS sig3,
+                 min(md5(concat(s, '#4'))) AS sig4
+          FROM shingles WHERE w3 IS NOT NULL GROUP BY url
+        )
+        SELECT concat(sig1, sig2, sig3, sig4) AS fullsig,
+               MIN(url) AS keep_url, COUNT(*) AS n_pages
+        FROM sigs
+        GROUP BY concat(sig1, sig2, sig3, sig4)
+        HAVING COUNT(*) > 1
+        ORDER BY fullsig
+    """)
+
+
 def _extract_lang_stats(spark, sf_dir: str) -> DataFrame:
     """Pipeline-level agg: extraction joined back to page lang, per-lang
     byte totals (exercises join + agg over the UDF output)."""
@@ -698,6 +735,7 @@ QUERIES: dict = {
     "page_links": _page_links,
     "page_titles": _page_titles,
     "extract_lang_stats": _extract_lang_stats,
+    "extract_near_dups": _extract_near_dups,
 }
 
 ORACLES: dict = {
