@@ -359,6 +359,15 @@ def xpath_bool(node: Node, path: str) -> bool:
     return bool(res)
 
 
+def xpath_evaluate(node: Node, path: str):
+    """Evaluate and return the appropriately-typed result (float for
+    count(), materialized node list for paths) — xpath.cr:49-53."""
+    res = _eval(node, path)
+    if isinstance(res, float):
+        return res
+    return [_materialize(x) for x in res]
+
+
 def attribute_value(node: Node, name: str) -> str:
     """xpath.cr:58-64."""
     if node.type == ELEMENT_NODE and node.parent is None and name == node.data:

@@ -73,3 +73,52 @@ def test_golden_suite_via_spark():
         assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"
     finally:
         spark.stop()
+
+
+def test_token_golden_via_spark():
+    """The 82 tokenizer golden cases through mapInArrow: the UDF
+    serializes the token stream ('$'-joined) and the driver compares to
+    the golden strings."""
+    import json
+
+    cases = json.loads(
+        (FIXTURES / "token_tests.json").read_text()
+    )
+
+    def tokenize_batches(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x import tokenizer as tk
+
+        for batch in iterator:
+            ids = batch.column("case_id").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            outs = []
+            for h in htmls:
+                z = tk.Tokenizer(h.encode("utf-8"))
+                parts = []
+                while z.next() != tk.ERROR:
+                    parts.append(str(z.token()))
+                outs.append("$".join(parts))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int32()), pa.array(outs, pa.string())],
+                names=["case_id", "stream"],
+            )
+
+    spark = get_spark("token-golden", master="local[4]",
+                      shuffle_partitions=4)
+    try:
+        df = spark.createDataFrame(
+            [(i, c["html"]) for i, c in enumerate(cases)],
+            "case_id int, html string",
+        ).repartition(4)
+        got = {
+            r["case_id"]: r["stream"]
+            for r in df.mapInArrow(
+                tokenize_batches, "case_id int, stream string"
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == c["golden"], c["desc"]
+    finally:
+        spark.stop()

@@ -64,3 +64,11 @@ def test_xpath_suite():
     assert [n.inner_text() for n in lst] == ["London", "Paris", "Tokyo"]
 
     assert xpath_float(DOC, "count(//img)") == 1.0
+
+
+def test_xpath_evaluate():
+    from crystal_html5_spark.html5x.xpath import xpath_evaluate
+
+    assert xpath_evaluate(DOC, "count(//a)") == 3.0
+    nodes = xpath_evaluate(DOC, "//a[@href]")
+    assert [n.inner_text() for n in nodes] == ["London", "Paris", "Tokyo"]
