@@ -571,10 +571,18 @@ class Parser:
         self.token, self.has_self_closing_token = real_token, self_closing
 
     def parse_current_token(self) -> None:
-        if self.token.type == tk.SELF_CLOSING_TAG:
+        t = self.token
+        if t.type == tk.SELF_CLOSING_TAG:
             self.has_self_closing_token = True
-            self.token.type = tk.START_TAG
-        consumed = False
+            t.type = tk.START_TAG
+        oe = self.oe
+        # Fast path: current node is a plain HTML element and we are not
+        # fragment-parsing — in_foreign_content() is necessarily False
+        # (parser.cr:461-474), skip its call for the first dispatch.
+        if not self.fragment and (not oe or oe[-1].namespace == ""):
+            consumed = self.im()
+        else:
+            consumed = False
         while not consumed:
             if self.in_foreign_content():
                 consumed = self.parse_foreign_content()
