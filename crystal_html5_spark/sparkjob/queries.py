@@ -45,10 +45,11 @@ def _sql(query: str):
 
 _PRICING_SUMMARY_SPARK = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
            AS sum_base_price_cents,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT)
            AS sum_disc_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
@@ -59,7 +60,8 @@ ORDER BY l_returnflag, l_linestatus
 
 _TOP_REVENUE_SPARK = """
 SELECT o_orderkey,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT)
            AS revenue_cents
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderkey
@@ -70,7 +72,8 @@ LIMIT 10
 _SEGMENT_TOTALS_SPARK = """
 SELECT /*+ BROADCAST(c) */ c_mktsegment AS segment,
        COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c_mktsegment
 ORDER BY segment
@@ -103,7 +106,8 @@ ORDER BY user_id
 _EVENT_TYPE_STATS = """
 SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -125,8 +129,9 @@ WITH marked AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS sess_id
   FROM marked
 )
 SELECT user_id, sess_id, COUNT(*) AS n_events,
@@ -184,7 +189,8 @@ ORDER BY doc_id
 """
 
 _DOCS_LANG_STATS = """
-SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang

@@ -67,6 +67,35 @@ def test_query_matches_oracle(name, spark, duck):
     assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
     assert _canon(srows, scols) == _canon(drows, dcols), name
 
+    # Type parity at the Arrow layer — the driver's value hash is typed,
+    # so DuckDB HUGEINT (decimal128) vs Spark BIGINT fails there even when
+    # the Python values compare equal (round-1 lesson).
+    sarrow = {f.name: f.type for f in sdf.toArrow().schema}
+    darrow = {
+        f.name: f.type
+        for f in duck.execute(entrymod.oracle_sql()[name]).arrow().schema
+    }
+    import pyarrow.types as pt
+
+    def _kind(t):
+        if pt.is_integer(t):
+            return "int"  # driver hash is width-insensitive (r1 evidence)
+        if pt.is_floating(t):
+            return "float"
+        if pt.is_decimal(t):
+            return "decimal"  # NOT equivalent to int for the driver hash
+        if pt.is_timestamp(t):
+            return "ts"
+        if pt.is_string(t) or pt.is_large_string(t):
+            return "str"
+        return str(t)
+
+    for col in scols:
+        st, dt_ = sarrow[col], darrow[col]
+        assert _kind(st) == _kind(dt_), (
+            f"{name}.{col}: arrow type mismatch {st} vs {dt_}"
+        )
+
 
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
