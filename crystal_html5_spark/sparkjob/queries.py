@@ -433,6 +433,11 @@ FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
 ORDER BY doc_a, doc_b
 """
 
+# Top-k shape that scales: the inner ORDER BY ... LIMIT 10 is planned by
+# Catalyst as TakeOrderedAndProject (per-partition top-10 + tiny driver
+# merge — fully parallel), and the ROW_NUMBER window then runs over ONLY
+# those 10 rows, so the "un-partitioned window" touches a constant-size
+# input instead of the whole table.
 _ANN_TOPK_SPARK = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -446,13 +451,13 @@ scored AS (
                            (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
          AS cosine
   FROM embeddings e CROSS JOIN q
+),
+top AS (
+  SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 )
-SELECT vec_id, rank FROM (
-  SELECT vec_id,
-         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored
-) t
-WHERE rank <= 10
+SELECT vec_id,
+       ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+FROM top
 ORDER BY rank
 """
 
@@ -473,96 +478,168 @@ ORDER BY rank
 """
 
 
-def _ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
-    """The ANN scale path end-to-end: LSH-bucket all vectors with seeded
-    hyperplanes, then brute-force cosine top-k ONLY within the query
-    vector's bucket (candidate set ~ N/2^bits instead of N).  At 100 TB the
-    bucket column is the shuffle/bucketing key; here the whole flow runs
-    vectorized in numpy over Arrow batches.  Rows-only check."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+# --- LSH (sign projection) with an exact SQL oracle ----------------------
+# Hyperplanes are Rademacher (+/-1) entries from a seeded PRNG, shared as a
+# Python constant (Spark fast path) and a VALUES literal (DuckDB oracle).
+# The bucket decision quantizes each float32 component to an integer
+# (FLOOR(x * 1e5)) so the plane dot products are EXACT integer arithmetic —
+# bit-identical across numpy and SQL, no float summation-order hazard.
 
-    def topk(iterator):
-        import numpy as np
-        import pyarrow as pa
+_LSH_BITS = 8
+_LSH_DIM = 64
+_LSH_QUANT = "100000.0"
 
-        rng = np.random.default_rng(42)
-        planes = rng.standard_normal((8, 64))
-        ids_all = []
-        sims_all = []
-        qv = None
-        mats = []
-        idl = []
-        for batch in iterator:
-            vec_ids = np.asarray(batch.column("vec_id").to_pylist())
-            mat = np.array(batch.column("embedding").to_pylist(),
-                           dtype=np.float64)
-            if mat.size == 0:
-                continue
-            mats.append(mat)
-            idl.append(vec_ids)
-        if not mats:
-            return
-        mat = np.concatenate(mats)
-        vec_ids = np.concatenate(idl)
-        qpos = np.flatnonzero(vec_ids == 0)
-        if qpos.size == 0:
-            return
-        qv = mat[qpos[0]]
-        bits = (mat @ planes.T) >= 0
-        buckets = bits.dot(1 << np.arange(8))
-        qbucket = buckets[qpos[0]]
-        cand = buckets == qbucket
-        cm = mat[cand]
-        cids = vec_ids[cand]
-        sims = (cm @ qv) / (
-            np.linalg.norm(cm, axis=1) * np.linalg.norm(qv) + 1e-12
-        )
-        order = np.lexsort((cids, -sims))[:10]
-        ids_all = cids[order]
-        sims_all = sims[order]
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(ids_all.astype("int64")),
-             pa.array(np.arange(1, len(ids_all) + 1, dtype="int64")),
-             pa.array(np.round(sims_all, 6))],
-            names=["vec_id", "rank", "cosine"],
-        )
 
-    # single partition: the bucket prune makes the candidate set tiny
-    return (
-        emb.select("vec_id", "embedding").coalesce(1)
-        .mapInArrow(topk, "vec_id bigint, rank bigint, cosine double")
-        .orderBy("rank")
+def _lsh_planes() -> list[list[int]]:
+    import random
+
+    rng = random.Random(12345)
+    return [[rng.choice((-1, 1)) for _ in range(_LSH_DIM)]
+            for _ in range(_LSH_BITS)]
+
+
+def _lsh_planes_values_sql() -> str:
+    """planes(b, d, p) VALUES literal; d is 1-based to line up with
+    DuckDB generate_subscripts."""
+    rows = ", ".join(
+        f"({b}, {d + 1}, {p})"
+        for b, plane in enumerate(_lsh_planes())
+        for d, p in enumerate(plane)
     )
+    return f"planes(b, d, p) AS (VALUES {rows})"
+
+
+_LSH_BUCKETS_CTE_DUCK = f"""
+qv AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS d,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_LSH_QUANT})
+              AS BIGINT) AS q
+  FROM embeddings
+),
+{{planes}},
+dots AS (
+  SELECT vec_id, b, SUM(p * q) AS s
+  FROM qv JOIN planes USING (d)
+  GROUP BY vec_id, b
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+)
+"""
+
+
+def _ann_lsh_buckets_oracle() -> str:
+    cte = _LSH_BUCKETS_CTE_DUCK.format(planes=_lsh_planes_values_sql())
+    return f"WITH {cte} SELECT vec_id, bucket FROM buckets ORDER BY vec_id"
+
+
+def _ann_lsh_topk_oracle() -> str:
+    cte = _LSH_BUCKETS_CTE_DUCK.format(planes=_lsh_planes_values_sql())
+    return f"""
+WITH {cte},
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, list_cosine_similarity(e.embedding, q0.qe) AS cosine
+  FROM buckets bk
+  JOIN qb ON bk.bucket = qb.bucket
+  JOIN embeddings e ON e.vec_id = bk.vec_id
+  CROSS JOIN q0
+),
+top AS (SELECT vec_id, cosine FROM cand ORDER BY cosine DESC, vec_id LIMIT 10)
+SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+FROM top ORDER BY rank
+"""
+
+
+def _lsh_bucketize_arrow(iterator):
+    """mapInArrow: (vec_id, embedding) -> (vec_id, bucket, embedding).
+    Vectorized numpy per Arrow batch; exact integer plane dots (see above)."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes = np.array(_lsh_planes(), dtype=np.int64)  # bits x dim
+    weights = (1 << np.arange(_LSH_BITS)).astype(np.int64)
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        mat = np.array(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        q = np.floor(mat * float(_LSH_QUANT)).astype(np.int64)
+        bits = (q @ planes.T) >= 0
+        buckets = bits.dot(weights)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("vec_id"), pa.array(buckets),
+             batch.column("embedding")],
+            names=["vec_id", "bucket", "embedding"],
+        )
+
+
+_BUCKETIZE_SCHEMA = "vec_id bigint, bucket bigint, embedding array<float>"
+
+# Same built-in (JVM, codegen) cosine as _ANN_TOPK_SPARK.
+_COSINE_EXPR = """
+aggregate(zip_with(embedding, qe,
+                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+/ (sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                  (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+   * sqrt(aggregate(qe, CAST(0.0 AS DOUBLE),
+                  (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+"""
 
 
 def _ann_lsh_buckets(spark, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH buckets (the ANN scale path: bucket first,
-    brute-force within buckets).  Vectorized numpy over Arrow batches; the
-    hyperplanes are seeded so the result is deterministic.  No SQL oracle —
-    rows-only check."""
+    """Sign-projection LSH bucket assignment — the ANN scale path's first
+    stage.  Distributed: one vectorized Arrow pass per partition, no
+    shuffle.  Exact-integer bucket decision gives this a full DuckDB
+    oracle (see _ann_lsh_buckets_oracle)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInArrow(_lsh_bucketize_arrow, _BUCKETIZE_SCHEMA)
+        .select("vec_id", "bucket")
+        .orderBy("vec_id")
+    )
 
-    def bucketize(iterator):
-        import numpy as np
-        import pyarrow as pa
 
-        rng = np.random.default_rng(42)
-        planes = rng.standard_normal((8, 64))
-        for batch in iterator:
-            vec_ids = batch.column("vec_id")
-            mat = np.array(batch.column("embedding").to_pylist(),
-                           dtype=np.float64)
-            if len(mat) == 0:
-                continue
-            bits = (mat @ planes.T) >= 0
-            buckets = bits.dot(1 << np.arange(8)).astype("int64")
-            yield pa.RecordBatch.from_arrays(
-                [vec_ids, pa.array(buckets)], names=["vec_id", "bucket"],
-            )
+def _ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
+    """ANN scale path end-to-end, fully distributed (round-2 rewrite of the
+    round-1 coalesce(1) bottleneck):
 
-    return emb.select("vec_id", "embedding").mapInArrow(
-        bucketize, "vec_id bigint, bucket bigint"
-    ).orderBy("vec_id")
+      1. bucketize every vector per-partition (Arrow batch, no shuffle);
+      2. bucketize the query vector from a 1-row pushed-down scan;
+      3. BROADCAST-join on bucket equality -> candidates ~ N/2^bits,
+         no exchange of the big side;
+      4. cosine via JVM built-ins, top-10 via ORDER BY ... LIMIT 10
+         (TakeOrderedAndProject — per-partition top-k + driver merge);
+      5. rank window over the constant-size 10-row result.
+
+    At 100 TB: the big side never moves; the only data crossing the
+    network is each partition's local top-10."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    b = emb.mapInArrow(_lsh_bucketize_arrow, _BUCKETIZE_SCHEMA)
+    qb = (
+        emb.filter(F.col("vec_id") == 0)  # pushed-down 1-row scan
+        .mapInArrow(_lsh_bucketize_arrow, _BUCKETIZE_SCHEMA)
+        .select(F.col("bucket").alias("qbucket"),
+                F.col("embedding").alias("qe"))
+    )
+    cand = b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+    scored = cand.select("vec_id", F.expr(_COSINE_EXPR).alias("cosine"))
+    top = scored.orderBy(F.desc("cosine"), "vec_id").limit(10)
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        top.select("vec_id", F.row_number().over(w).alias("rank"))
+        .orderBy("rank")
+    )
 
 
 # ------------------------- HTML extraction queries ------------------------
@@ -766,6 +843,8 @@ ORACLES: dict = {
     "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
     "ann_cosine_topk": _ANN_TOPK_DUCK,
-    # ann_lsh_buckets, extract_pages, page_links, page_titles,
-    # extract_lang_stats: non-SQL-expressible -> rows-only.
+    "ann_lsh_buckets": _ann_lsh_buckets_oracle(),
+    "ann_lsh_topk": _ann_lsh_topk_oracle(),
+    # extract_pages, page_links, page_titles, extract_lang_stats,
+    # extract_near_dups, media_features: non-SQL-expressible -> rows-only.
 }

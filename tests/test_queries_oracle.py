@@ -109,6 +109,21 @@ def test_rows_only_queries_deterministic(name, spark):
     assert a == b, f"{name} not deterministic"
 
 
+def test_ann_plans_scale_safe(spark):
+    """The round-1 scale-killers stay dead: top-k is TakeOrderedAndProject
+    (distributed per-partition top-k), the LSH candidate prune is a
+    broadcast join, and nothing funnels the big side into one task."""
+    q = entrymod.queries()
+    p1 = q["ann_cosine_topk"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in p1
+    p2 = q["ann_lsh_topk"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in p2
+    assert "BroadcastHashJoin" in p2
+    assert "Coalesce 1" not in p2
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
