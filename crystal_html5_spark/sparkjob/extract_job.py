@@ -183,8 +183,11 @@ def run_extract(
     if done_keys is not None:
         # Resume: drop already-extracted (url, warc_ts) pairs.  Runs after
         # dedup so an older capture of a finished url cannot resurface.
+        # No broadcast hint: done_keys grows without bound as extraction
+        # progresses, so the join strategy is left to AQE (which picks
+        # broadcast while the done set is small and shuffle after).
         cols = cols.join(
-            F.broadcast(done_keys.select("url", "warc_ts").distinct()),
+            done_keys.select("url", "warc_ts").distinct(),
             ["url", "warc_ts"], "left_anti",
         )
     salted = salted_repartition(cols, n, salt)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .extract_job import run_extract
 from .multimodal import media_features_query as _media_features
-from .pages import n_pages_for_sf, pages_df
+from .pages import n_pages_for_sf, pages_parquet
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -649,7 +649,10 @@ def _ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
 
 
 def _pages(spark, sf_dir: str) -> DataFrame:
-    return pages_df(spark, n_pages_for_sf(sf_dir))
+    """Pages as a parquet scan (cached by size+seed): the extract queries
+    get the same pruned-scan plan as the bench/production path instead of
+    a driver-side createDataFrame materialization."""
+    return spark.read.parquet(pages_parquet(spark, n_pages_for_sf(sf_dir)))
 
 
 def _extract_pages(spark, sf_dir: str) -> DataFrame:

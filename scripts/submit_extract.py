@@ -13,6 +13,20 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import pathlib
+import sys
+
+# Importable both under spark-submit --py-files AND as a plain
+# `python scripts/submit_extract.py` from a checkout (sys.path[0] is
+# scripts/, not the repo root).  Executors inherit PYTHONPATH.
+_REPO = str(pathlib.Path(__file__).resolve().parents[1])
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 from pyspark.sql import SparkSession
 
