@@ -1,50 +1,88 @@
-"""Minimal XPath 1.0 subset over the html5x DOM.
+"""XPath 1.0 over the html5x DOM.
 
-Parity target: /root/reference/src/html5/xpath/xpath.cr (the reference
-delegates evaluation to the external xpath2 shard; we implement the axis /
-predicate subset its spec suite exercises: child & descendant axes, `@attr`
-attribute axis with synthetic result nodes (xpath.cr:66-82), `..` parent,
-`*` wildcard, positional predicates, attribute presence/equality
-predicates, and `count()`), plus the first-element dedup quirk of
-xpath_nodes (xpath.cr:22-27).
+Parity target: the reference delegates evaluation to the external xpath2
+shard (/root/reference/shard.yml:13-16, evaluated via
+/root/reference/src/html5/xpath/xpath.cr:7-53), so its users get the whole
+XPath 1.0 language.  This module implements that language from the public
+W3C grammar (https://www.w3.org/TR/1999/REC-xpath-19991116/):
+
+- all named axes except ``namespace`` (child, descendant[-or-self],
+  parent, ancestor[-or-self], following[-sibling], preceding[-sibling],
+  self, attribute) plus the ``@`` / ``//`` / ``.`` / ``..`` abbreviations;
+- node tests: name, ``*``, ``text()``, ``comment()``, ``node()``,
+  ``processing-instruction()`` (this DOM has no PI nodes -> empty);
+- the four value types (node-set, boolean, number, string) with the spec
+  conversion and comparison rules, including node-set comparisons;
+- operators ``or and = != < <= > >= + - * div mod | -(unary)``;
+- the core function library: last position count id local-name
+  namespace-uri name string concat starts-with contains substring-before
+  substring-after substring string-length normalize-space translate
+  boolean not true false lang number sum floor ceiling round.
+
+Reference quirks kept: attribute results materialize as a synthetic
+Element+Text pair (xpath.cr:66-82) and xpath_nodes repeats the
+first-element dedup (xpath.cr:15-31).
 """
 
 from __future__ import annotations
 
+import math
 import re
 
-from .node import DOCUMENT_NODE, ELEMENT_NODE, Node
+from .node import (
+    COMMENT_NODE,
+    DOCUMENT_NODE,
+    ELEMENT_NODE,
+    TEXT_NODE,
+    Node,
+)
 
 
 class XPathError(Exception):
     pass
 
 
+# ------------------------------- lexer ------------------------------------
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<dslash>//)
   | (?P<slash>/)
+  | (?P<dcolon>::)
   | (?P<dotdot>\.\.)
+  | (?P<number>\d+(?:\.\d*)?|\.\d+)
   | (?P<dot>\.)
   | (?P<at>@)
+  | (?P<comma>,)
+  | (?P<lbrack>\[) | (?P<rbrack>\])
+  | (?P<lparen>\() | (?P<rparen>\))
+  | (?P<pipe>\|)
+  | (?P<neq>!=) | (?P<lte><=) | (?P<gte>>=)
+  | (?P<eq>=) | (?P<lt><) | (?P<gt>>)
+  | (?P<plus>\+) | (?P<minus>-)
   | (?P<star>\*)
-  | (?P<lbrack>\[)
-  | (?P<rbrack>\])
-  | (?P<lparen>\()
-  | (?P<rparen>\))
-  | (?P<eq>=)
-  | (?P<number>\d+(?:\.\d+)?)
   | (?P<string>'[^']*'|"[^"]*")
-  | (?P<name>[A-Za-z_][\w.-]*)
+  | (?P<name>[A-Za-z_][\w-]*(?:\.[\w-]+)*)
   | (?P<ws>\s+)
 """,
     re.VERBOSE,
 )
 
+# Tokens after which a name/'*' must be interpreted as a name test /
+# wildcard, never as an operator (XPath 1.0 section 3.7 rule 1).
+_OPERAND_EXPECTED_AFTER = frozenset((
+    None, "at", "dcolon", "lparen", "lbrack", "comma", "pipe",
+    "slash", "dslash", "eq", "neq", "lt", "lte", "gt", "gte",
+    "plus", "minus", "star", "and", "or", "mod", "div",
+))
+
+_NODE_TYPES = frozenset(("text", "comment", "node", "processing-instruction"))
+
 
 def _tokenize(path: str):
-    toks = []
+    toks: list[tuple[str, str]] = []
     pos = 0
+    prev = None
     while pos < len(path):
         m = _TOKEN_RE.match(path, pos)
         if m is None:
@@ -53,28 +91,30 @@ def _tokenize(path: str):
         kind = m.lastgroup
         if kind == "ws":
             continue
-        toks.append((kind, m.group()))
+        val = m.group()
+        if kind == "name" and val in ("and", "or", "mod", "div") \
+                and prev not in _OPERAND_EXPECTED_AFTER:
+            kind = val  # operator, not a name test (disambiguation rule)
+        toks.append((kind, val))
+        prev = kind
     return toks
 
 
-class _Step:
-    __slots__ = ("axis", "test", "predicates")
+# ------------------------------- parser -----------------------------------
+#
+# Expression AST: nested tuples.
+#   ("or"|"and", a, b)           ("cmp", op, a, b)   ("arith", op, a, b)
+#   ("neg", x)                   ("union", a, b)
+#   ("path", absolute, [step])   step = (axis, test, [pred-expr])
+#       test = ("name", n) | ("type", t)
+#   ("filter", primary, [pred-expr], [step])   (E)[p]/rel/steps
+#   ("call", name, [arg])        ("lit", s)          ("num", v)
 
-    def __init__(self, axis: str, test: str, predicates: list):
-        self.axis = axis  # child | descendant | attribute | parent | self
-        self.test = test  # name or "*"
-        self.predicates = predicates
-
-
-class _AttrRef:
-    """Attribute-axis result: owner node + key/val."""
-
-    __slots__ = ("owner", "key", "val")
-
-    def __init__(self, owner: Node, key: str, val: str):
-        self.owner = owner
-        self.key = key
-        self.val = val
+_AXES = frozenset((
+    "child", "descendant", "descendant-or-self", "parent", "ancestor",
+    "ancestor-or-self", "following", "following-sibling", "preceding",
+    "preceding-sibling", "self", "attribute",
+))
 
 
 class _Parser:
@@ -82,210 +122,207 @@ class _Parser:
         self.toks = toks
         self.i = 0
 
-    def peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else (None, "")
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, "")
 
     def next(self):
         t = self.peek()
         self.i += 1
         return t
 
-    def parse(self):
-        # count(path) | path
-        kind, val = self.peek()
-        if kind == "name" and val == "count" and self.i + 1 < len(self.toks) \
-                and self.toks[self.i + 1][0] == "lparen":
-            self.next()
-            self.next()
-            path = self.parse_path()
-            if self.next()[0] != "rparen":
-                raise XPathError("expected )")
-            return ("count", path)
-        return ("path", self.parse_path())
+    def expect(self, kind: str):
+        k, v = self.next()
+        if k != kind:
+            raise XPathError(f"expected {kind}, got {v!r}")
+        return v
 
-    def parse_path(self):
-        steps = []
+    # Expr := OrExpr
+    def parse(self):
+        e = self.parse_or()
+        if self.peek()[0] is not None:
+            raise XPathError(f"trailing tokens at {self.peek()[1]!r}")
+        return e
+
+    def parse_or(self):
+        e = self.parse_and()
+        while self.peek()[0] == "or":
+            self.next()
+            e = ("or", e, self.parse_and())
+        return e
+
+    def parse_and(self):
+        e = self.parse_equality()
+        while self.peek()[0] == "and":
+            self.next()
+            e = ("and", e, self.parse_equality())
+        return e
+
+    def parse_equality(self):
+        e = self.parse_relational()
+        while self.peek()[0] in ("eq", "neq"):
+            op = self.next()[0]
+            e = ("cmp", "=" if op == "eq" else "!=", e,
+                 self.parse_relational())
+        return e
+
+    def parse_relational(self):
+        e = self.parse_additive()
+        ops = {"lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
+        while self.peek()[0] in ops:
+            op = ops[self.next()[0]]
+            e = ("cmp", op, e, self.parse_additive())
+        return e
+
+    def parse_additive(self):
+        e = self.parse_multiplicative()
+        while self.peek()[0] in ("plus", "minus"):
+            op = "+" if self.next()[0] == "plus" else "-"
+            e = ("arith", op, e, self.parse_multiplicative())
+        return e
+
+    def parse_multiplicative(self):
+        e = self.parse_unary()
+        while self.peek()[0] in ("star", "div", "mod"):
+            k = self.next()[0]
+            op = {"star": "*", "div": "div", "mod": "mod"}[k]
+            e = ("arith", op, e, self.parse_unary())
+        return e
+
+    def parse_unary(self):
+        if self.peek()[0] == "minus":
+            self.next()
+            return ("neg", self.parse_unary())
+        return self.parse_union()
+
+    def parse_union(self):
+        e = self.parse_path_expr()
+        while self.peek()[0] == "pipe":
+            self.next()
+            e = ("union", e, self.parse_path_expr())
+        return e
+
+    # PathExpr := LocationPath | FilterExpr (('/'|'//') RelLocationPath)?
+    def parse_path_expr(self):
+        kind, val = self.peek()
+        if kind == "lparen" or kind == "string" or kind == "number" or (
+            kind == "name"
+            and self.peek(1)[0] == "lparen"
+            and val not in _NODE_TYPES
+        ):
+            primary = self.parse_primary()
+            preds = self.parse_predicates()
+            steps: list = []
+            while self.peek()[0] in ("slash", "dslash"):
+                if self.next()[0] == "dslash":
+                    steps.append(
+                        ("descendant-or-self", ("type", "node"), [])
+                    )
+                steps.append(self.parse_step())
+            if not preds and not steps:
+                return primary
+            return ("filter", primary, preds, steps)
+        return self.parse_location_path()
+
+    def parse_primary(self):
+        kind, val = self.next()
+        if kind == "lparen":
+            e = self.parse_or()
+            self.expect("rparen")
+            return e
+        if kind == "string":
+            return ("lit", val[1:-1])
+        if kind == "number":
+            return ("num", float(val))
+        if kind == "name":  # function call
+            self.expect("lparen")
+            args = []
+            if self.peek()[0] != "rparen":
+                args.append(self.parse_or())
+                while self.peek()[0] == "comma":
+                    self.next()
+                    args.append(self.parse_or())
+            self.expect("rparen")
+            return ("call", val, args)
+        raise XPathError(f"unexpected token {val!r}")
+
+    def parse_location_path(self):
+        steps: list = []
         kind, _ = self.peek()
         absolute = False
-        if kind in ("slash", "dslash"):
+        if kind == "slash":
             absolute = True
-            if kind == "slash":
-                self.next()
-                steps.append(self.parse_step("child"))
-            else:
-                self.next()
-                steps.append(self.parse_step("descendant"))
-        else:
-            steps.append(self.parse_step("child"))
-        while True:
-            kind, _ = self.peek()
-            if kind == "slash":
-                self.next()
-                steps.append(self.parse_step("child"))
-            elif kind == "dslash":
-                self.next()
-                steps.append(self.parse_step("descendant"))
-            else:
-                break
-        return (absolute, steps)
+            self.next()
+            if self.peek()[0] not in ("name", "star", "at", "dot", "dotdot"):
+                return ("path", True, [])  # bare "/" selects the root
+        elif kind == "dslash":
+            absolute = True
+            self.next()
+            steps.append(("descendant-or-self", ("type", "node"), []))
+        steps.append(self.parse_step())
+        while self.peek()[0] in ("slash", "dslash"):
+            if self.next()[0] == "dslash":
+                steps.append(("descendant-or-self", ("type", "node"), []))
+            steps.append(self.parse_step())
+        return ("path", absolute, steps)
 
-    def parse_step(self, axis: str) -> _Step:
-        kind, val = self.next()
-        if kind == "dotdot":
-            return _Step("parent", "*", [])
+    def parse_step(self):
+        kind, val = self.peek()
         if kind == "dot":
-            return _Step("self", "*", [])
+            self.next()
+            return ("self", ("type", "node"), [])
+        if kind == "dotdot":
+            self.next()
+            return ("parent", ("type", "node"), [])
+        axis = "child"
         if kind == "at":
-            kind, val = self.next()
-            if kind != "name":
-                raise XPathError("expected attribute name after @")
-            return _Step(
-                "attribute" if axis == "child" else "descendant-attribute",
-                val, self.parse_predicates(),
-            )
+            self.next()
+            axis = "attribute"
+        elif kind == "name" and self.peek(1)[0] == "dcolon":
+            if val not in _AXES:
+                raise XPathError(f"unknown axis {val!r}")
+            axis = val
+            self.next()
+            self.next()
+        return (axis, self.parse_node_test(), self.parse_predicates())
+
+    def parse_node_test(self):
+        kind, val = self.next()
         if kind == "star":
-            return _Step(axis, "*", self.parse_predicates())
+            return ("name", "*")
         if kind == "name":
-            return _Step(axis, val, self.parse_predicates())
-        raise XPathError(f"unexpected token {val!r}")
+            if val in _NODE_TYPES and self.peek()[0] == "lparen":
+                self.next()
+                if val == "processing-instruction" \
+                        and self.peek()[0] == "string":
+                    self.next()  # PI target literal — no PI nodes anyway
+                self.expect("rparen")
+                return ("type", val)
+            return ("name", val)
+        raise XPathError(f"expected node test, got {val!r}")
 
     def parse_predicates(self):
         preds = []
         while self.peek()[0] == "lbrack":
             self.next()
-            kind, val = self.peek()
-            if kind == "number":
-                self.next()
-                preds.append(("pos", int(float(val))))
-            elif kind == "at":
-                self.next()
-                kind, name = self.next()
-                if kind != "name":
-                    raise XPathError("expected attribute name after @")
-                if self.peek()[0] == "eq":
-                    self.next()
-                    kind, sval = self.next()
-                    if kind != "string":
-                        raise XPathError("expected string literal")
-                    preds.append(("attr-eq", name, sval[1:-1]))
-                else:
-                    preds.append(("attr", name))
-            elif kind in ("name", "slash", "dslash", "dot", "dotdot"):
-                preds.append(("path", self.parse_path()))
-            else:
-                raise XPathError(f"unsupported predicate {val!r}")
-            if self.next()[0] != "rbrack":
-                raise XPathError("expected ]")
+            preds.append(self.parse_or())
+            self.expect("rbrack")
         return preds
 
 
-def _descendants(n: Node):
-    stack = []
-    c = n.first_child
-    while c is not None:
-        stack.append(c)
-        c = c.next_sibling
-    out = []
-    i = 0
-    # BFS would break document order; do an explicit DFS.
-    stack2 = list(reversed(stack))
-    while stack2:
-        cur = stack2.pop()
-        out.append(cur)
-        kids = []
-        c = cur.first_child
-        while c is not None:
-            kids.append(c)
-            c = c.next_sibling
-        stack2.extend(reversed(kids))
-    return out
+# ----------------------------- data model ---------------------------------
 
 
-def _name_matches(n: Node, test: str) -> bool:
-    if n.type != ELEMENT_NODE:
-        return False
-    return test == "*" or n.data == test
+class _AttrRef:
+    """Attribute-axis result: owner node + key/val."""
 
+    __slots__ = ("owner", "key", "val", "index")
 
-def _get_attr(n, key: str):
-    if isinstance(n, _AttrRef):
-        return None
-    for a in n.attr:
-        if a.key == key:
-            return a
-    return None
-
-
-def _apply_predicates(candidates, preds, eval_path):
-    for p in preds:
-        if p[0] == "pos":
-            idx = p[1]
-            candidates = [candidates[idx - 1]] if 0 < idx <= len(candidates) \
-                else []
-        elif p[0] == "attr":
-            candidates = [c for c in candidates
-                          if _get_attr(c, p[1]) is not None]
-        elif p[0] == "attr-eq":
-            out = []
-            for c in candidates:
-                a = _get_attr(c, p[1])
-                if a is not None and a.val == p[2]:
-                    out.append(c)
-            candidates = out
-        elif p[0] == "path":
-            candidates = [c for c in candidates
-                          if isinstance(c, Node) and eval_path(p[1], [c])]
-    return candidates
-
-
-def _eval_path(path, context):
-    """Evaluate (absolute, steps) against a context node list."""
-    absolute, steps = path
-    result = list(context)
-    for step in steps:
-        nxt = []
-        seen = set()
-
-        def add(x):
-            key = id(x.owner) if isinstance(x, _AttrRef) else id(x)
-            key = (key, x.key) if isinstance(x, _AttrRef) else key
-            if key not in seen:
-                seen.add(key)
-                nxt.append(x)
-
-        for ctx in result:
-            if step.axis == "parent":
-                if isinstance(ctx, _AttrRef):
-                    add(ctx.owner)
-                elif ctx.parent is not None:
-                    add(ctx.parent)
-                continue
-            if step.axis == "self":
-                add(ctx)
-                continue
-            if isinstance(ctx, _AttrRef):
-                continue
-            if step.axis == "attribute":
-                a = _get_attr(ctx, step.test)
-                if a is not None:
-                    add(_AttrRef(ctx, a.key, a.val))
-                continue
-            if step.axis == "descendant-attribute":
-                for d in _descendants(ctx):
-                    a = _get_attr(d, step.test)
-                    if a is not None:
-                        add(_AttrRef(d, a.key, a.val))
-                continue
-            if step.axis == "child":
-                cands = [c for c in _children(ctx)
-                         if _name_matches(c, step.test)]
-            else:  # descendant
-                cands = [d for d in _descendants(ctx)
-                         if _name_matches(d, step.test)]
-            for c in _apply_predicates(cands, step.predicates, _eval_path):
-                add(c)
-        result = nxt
-    return result
+    def __init__(self, owner: Node, key: str, val: str, index: int = 0):
+        self.owner = owner
+        self.key = key
+        self.val = val
+        self.index = index  # position among the owner's attributes
 
 
 def _children(n: Node):
@@ -297,10 +334,509 @@ def _children(n: Node):
     return out
 
 
+def _descendants(n: Node):
+    out: list[Node] = []
+    stack = list(reversed(_children(n)))
+    while stack:
+        cur = stack.pop()
+        out.append(cur)
+        stack.extend(reversed(_children(cur)))
+    return out
+
+
+def _root_of(n) -> Node:
+    if isinstance(n, _AttrRef):
+        n = n.owner
+    while n.parent is not None:
+        n = n.parent
+    return n
+
+
+def _string_value(x) -> str:
+    if isinstance(x, _AttrRef):
+        return x.val
+    if x.type in (TEXT_NODE, COMMENT_NODE):
+        return x.data
+    return x.inner_text()
+
+
+class _DocOrder:
+    """Document-order index, computed lazily per evaluation root."""
+
+    def __init__(self):
+        self._idx: dict[int, int] = {}
+
+    def _build(self, root: Node) -> None:
+        i = len(self._idx)
+        self._idx[id(root)] = i
+        for d in _descendants(root):
+            i += 1
+            self._idx[id(d)] = i
+
+    def key(self, x):
+        n = x.owner if isinstance(x, _AttrRef) else x
+        if id(n) not in self._idx:
+            self._build(_root_of(n))
+        base = self._idx.get(id(n), 1 << 60)
+        if isinstance(x, _AttrRef):
+            return (base, 1, x.index)
+        return (base, 0, 0)
+
+    def sort_dedup(self, nodes):
+        seen = set()
+        out = []
+        for x in nodes:
+            k = (id(x.owner), x.key) if isinstance(x, _AttrRef) else id(x)
+            if k not in seen:
+                seen.add(k)
+                out.append(x)
+        out.sort(key=self.key)
+        return out
+
+
+# ------------------------------ evaluator ---------------------------------
+
+_REVERSE_AXES = frozenset((
+    "ancestor", "ancestor-or-self", "preceding", "preceding-sibling",
+))
+
+
+def _axis_nodes(axis: str, ctx):
+    """Candidates along `axis` from ctx, in AXIS order (reverse axes are
+    nearest-first, per proximity-position semantics)."""
+    is_attr = isinstance(ctx, _AttrRef)
+    if axis == "self":
+        return [ctx]
+    if axis == "parent":
+        if is_attr:
+            return [ctx.owner]
+        return [ctx.parent] if ctx.parent is not None else []
+    if axis == "ancestor" or axis == "ancestor-or-self":
+        out = [ctx] if axis == "ancestor-or-self" else []
+        n = ctx.owner if is_attr else ctx.parent
+        if is_attr and axis == "ancestor":
+            out.append(n)
+            n = n.parent
+        while n is not None:
+            out.append(n)
+            n = n.parent
+        return out
+    if is_attr:
+        return []  # child/descendant/sibling/etc. of an attribute: empty
+    if axis == "child":
+        return _children(ctx)
+    if axis == "descendant":
+        return _descendants(ctx)
+    if axis == "descendant-or-self":
+        return [ctx, *_descendants(ctx)]
+    if axis == "following-sibling":
+        out = []
+        s = ctx.next_sibling
+        while s is not None:
+            out.append(s)
+            s = s.next_sibling
+        return out
+    if axis == "preceding-sibling":
+        out = []
+        s = ctx.prev_sibling
+        while s is not None:
+            out.append(s)
+            s = s.prev_sibling
+        return out
+    if axis == "following":
+        out = []
+        n = ctx
+        while n is not None:
+            s = n.next_sibling
+            while s is not None:
+                out.append(s)
+                out.extend(_descendants(s))
+                s = s.next_sibling
+            n = n.parent
+        return out
+    if axis == "preceding":
+        out = []
+        n = ctx
+        while n is not None:
+            s = n.prev_sibling
+            while s is not None:
+                # reverse document order: deepest-last content first
+                out.extend(reversed([s, *_descendants(s)]))
+                s = s.prev_sibling
+            n = n.parent
+        return out
+    if axis == "attribute":
+        if getattr(ctx, "type", None) == ELEMENT_NODE:
+            return [_AttrRef(ctx, a.key, a.val, i)
+                    for i, a in enumerate(ctx.attr)]
+        return []
+    raise XPathError(f"unknown axis {axis!r}")
+
+
+def _node_test(axis: str, test, x) -> bool:
+    kind, val = test
+    if isinstance(x, _AttrRef):
+        if kind == "type":
+            return val == "node"
+        return val == "*" or x.key == val
+    if kind == "type":
+        if val == "node":
+            return True
+        if val == "text":
+            return x.type == TEXT_NODE
+        if val == "comment":
+            return x.type == COMMENT_NODE
+        return False  # processing-instruction: no PI nodes in this DOM
+    # name test: on non-attribute axes it selects elements only
+    if x.type != ELEMENT_NODE:
+        return False
+    return val == "*" or x.data == val
+
+
+class _Evaluator:
+    def __init__(self):
+        self.order = _DocOrder()
+
+    # -- conversions --------------------------------------------------------
+
+    def to_boolean(self, v) -> bool:
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, float):
+            return v != 0.0 and not math.isnan(v)
+        if isinstance(v, str):
+            return len(v) > 0
+        return len(v) > 0  # node-set
+
+    def to_number(self, v) -> float:
+        if isinstance(v, bool):
+            return 1.0 if v else 0.0
+        if isinstance(v, float):
+            return v
+        if isinstance(v, list):
+            v = self.to_string(v)
+        try:
+            return float(v.strip())
+        except ValueError:
+            return math.nan
+
+    def to_string(self, v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return _num_to_str(v)
+        if isinstance(v, str):
+            return v
+        return _string_value(v[0]) if v else ""
+
+    # -- comparison (XPath 1.0 section 3.4) ----------------------------------
+
+    def compare(self, op: str, a, b):
+        a_ns, b_ns = isinstance(a, list), isinstance(b, list)
+        if a_ns and b_ns:
+            if op in ("=", "!="):
+                sva = {_string_value(x) for x in a}
+                svb = {_string_value(y) for y in b}
+                if op == "=":
+                    return bool(sva & svb)
+                return any(x != y for x in sva for y in svb)
+            return any(
+                _num_cmp(op, self.to_number(_string_value(x)),
+                         self.to_number(_string_value(y)))
+                for x in a for y in b
+            )
+        if a_ns or b_ns:
+            ns, other = (a, b) if a_ns else (b, a)
+            flip = not a_ns
+            if isinstance(other, bool):
+                av, bv = self.to_boolean(ns), other
+                if flip:
+                    av, bv = bv, av
+                return _generic_cmp(op, av, bv, self)
+            for x in ns:
+                sv = _string_value(x)
+                if isinstance(other, float) or op in ("<", "<=", ">", ">="):
+                    av, bv = self.to_number(sv), self.to_number(other) \
+                        if not isinstance(other, float) else other
+                else:
+                    av, bv = sv, other
+                if flip:
+                    av, bv = bv, av
+                if _generic_cmp(op, av, bv, self):
+                    return True
+            return False
+        return _generic_cmp(op, a, b, self)
+
+    # -- expression dispatch --------------------------------------------------
+
+    def eval(self, expr, ctx, pos: int, size: int):
+        op = expr[0]
+        if op == "or":
+            return self.to_boolean(self.eval(expr[1], ctx, pos, size)) \
+                or self.to_boolean(self.eval(expr[2], ctx, pos, size))
+        if op == "and":
+            return self.to_boolean(self.eval(expr[1], ctx, pos, size)) \
+                and self.to_boolean(self.eval(expr[2], ctx, pos, size))
+        if op == "cmp":
+            return self.compare(
+                expr[1],
+                self.eval(expr[2], ctx, pos, size),
+                self.eval(expr[3], ctx, pos, size),
+            )
+        if op == "arith":
+            a = self.to_number(self.eval(expr[2], ctx, pos, size))
+            b = self.to_number(self.eval(expr[3], ctx, pos, size))
+            return _arith(expr[1], a, b)
+        if op == "neg":
+            return -self.to_number(self.eval(expr[1], ctx, pos, size))
+        if op == "union":
+            a = self.eval(expr[1], ctx, pos, size)
+            b = self.eval(expr[2], ctx, pos, size)
+            if not isinstance(a, list) or not isinstance(b, list):
+                raise XPathError("union operands must be node-sets")
+            return self.order.sort_dedup([*a, *b])
+        if op == "lit":
+            return expr[1]
+        if op == "num":
+            return expr[1]
+        if op == "path":
+            start = [_root_of(ctx)] if expr[1] else [ctx]
+            return self.eval_steps(expr[2], start)
+        if op == "filter":
+            v = self.eval(expr[1], ctx, pos, size)
+            if expr[2] or expr[3]:
+                if not isinstance(v, list):
+                    raise XPathError("predicates require a node-set")
+                for pred in expr[2]:
+                    v = self._filter(v, pred)
+                if expr[3]:
+                    v = self.eval_steps(expr[3], v)
+            return v
+        if op == "call":
+            return self.call(expr[1], expr[2], ctx, pos, size)
+        raise XPathError(f"bad expression {op!r}")
+
+    def _filter(self, nodes, pred):
+        out = []
+        size = len(nodes)
+        for i, x in enumerate(nodes):
+            r = self.eval(pred, x, i + 1, size)
+            keep = (i + 1 == r) if isinstance(r, float) \
+                else self.to_boolean(r)
+            if keep:
+                out.append(x)
+        return out
+
+    def eval_steps(self, steps, context):
+        result = list(context)
+        for axis, test, preds in steps:
+            gathered = []
+            for ctx in result:
+                cands = [x for x in _axis_nodes(axis, ctx)
+                         if _node_test(axis, test, x)]
+                for pred in preds:
+                    cands = self._filter(cands, pred)
+                gathered.extend(cands)
+            result = self.order.sort_dedup(gathered)
+        return result
+
+    # -- core function library -------------------------------------------------
+
+    def call(self, name, args, ctx, pos, size):
+        def a(i):
+            return self.eval(args[i], ctx, pos, size)
+
+        n = len(args)
+        if name == "last" and n == 0:
+            return float(size)
+        if name == "position" and n == 0:
+            return float(pos)
+        if name == "count" and n == 1:
+            v = a(0)
+            if not isinstance(v, list):
+                raise XPathError("count() requires a node-set")
+            return float(len(v))
+        if name == "id" and n == 1:
+            v = a(0)
+            tokens: list[str] = []
+            if isinstance(v, list):
+                for x in v:
+                    tokens.extend(_string_value(x).split())
+            else:
+                tokens = self.to_string(v).split()
+            wanted = set(tokens)
+            root = _root_of(ctx)
+            out = [d for d in _descendants(root)
+                   if d.type == ELEMENT_NODE
+                   and any(at.key == "id" and at.val in wanted
+                           for at in d.attr)]
+            return self.order.sort_dedup(out)
+        if name in ("local-name", "name") and n <= 1:
+            v = a(0) if n else [ctx]
+            if not isinstance(v, list):
+                raise XPathError(f"{name}() requires a node-set")
+            if not v:
+                return ""
+            x = self.order.sort_dedup(v)[0]
+            if isinstance(x, _AttrRef):
+                return x.key
+            return x.data if x.type == ELEMENT_NODE else ""
+        if name == "namespace-uri" and n <= 1:
+            return ""
+        if name == "string" and n <= 1:
+            return self.to_string(a(0)) if n else _string_value(ctx)
+        if name == "concat" and n >= 2:
+            return "".join(self.to_string(a(i)) for i in range(n))
+        if name == "starts-with" and n == 2:
+            return self.to_string(a(0)).startswith(self.to_string(a(1)))
+        if name == "contains" and n == 2:
+            return self.to_string(a(1)) in self.to_string(a(0))
+        if name == "substring-before" and n == 2:
+            s, t = self.to_string(a(0)), self.to_string(a(1))
+            i = s.find(t)
+            return s[:i] if i >= 0 else ""
+        if name == "substring-after" and n == 2:
+            s, t = self.to_string(a(0)), self.to_string(a(1))
+            i = s.find(t)
+            return s[i + len(t):] if i >= 0 else ""
+        if name == "substring" and n in (2, 3):
+            s = self.to_string(a(0))
+            start = _xpath_round(self.to_number(a(1)))
+            if math.isnan(start):
+                return ""
+            if n == 3:
+                length = _xpath_round(self.to_number(a(2)))
+                if math.isnan(length):
+                    return ""
+                end = start + length
+            else:
+                end = math.inf
+            # 1-based, positions round()ed, see spec 4.2
+            lo = max(1.0, start)
+            hi = min(float(len(s)) + 1.0, end)
+            if hi <= lo:
+                return ""
+            return s[int(lo) - 1:int(hi) - 1]
+        if name == "string-length" and n <= 1:
+            s = self.to_string(a(0)) if n else _string_value(ctx)
+            return float(len(s))
+        if name == "normalize-space" and n <= 1:
+            s = self.to_string(a(0)) if n else _string_value(ctx)
+            return " ".join(s.split())
+        if name == "translate" and n == 3:
+            s, src, dst = (self.to_string(a(i)) for i in range(3))
+            table = {}
+            for i, ch in enumerate(src):
+                if ch not in table:
+                    table[ch] = dst[i] if i < len(dst) else None
+            return "".join(
+                table.get(ch, ch) for ch in s if table.get(ch, ch) is not None
+            )
+        if name == "boolean" and n == 1:
+            return self.to_boolean(a(0))
+        if name == "not" and n == 1:
+            return not self.to_boolean(a(0))
+        if name == "true" and n == 0:
+            return True
+        if name == "false" and n == 0:
+            return False
+        if name == "lang" and n == 1:
+            want = self.to_string(a(0)).lower()
+            node = ctx.owner if isinstance(ctx, _AttrRef) else ctx
+            while node is not None:
+                for at in getattr(node, "attr", ()):
+                    if at.key == "lang" or at.key == "xml:lang":
+                        have = at.val.lower()
+                        return have == want or \
+                            have.startswith(want + "-")
+                node = node.parent
+            return False
+        if name == "number" and n <= 1:
+            return self.to_number(a(0)) if n else \
+                self.to_number(_string_value(ctx))
+        if name == "sum" and n == 1:
+            v = a(0)
+            if not isinstance(v, list):
+                raise XPathError("sum() requires a node-set")
+            return float(sum(self.to_number(_string_value(x)) for x in v))
+        if name == "floor" and n == 1:
+            return float(math.floor(self.to_number(a(0))))
+        if name == "ceiling" and n == 1:
+            return float(math.ceil(self.to_number(a(0))))
+        if name == "round" and n == 1:
+            return _xpath_round(self.to_number(a(0)))
+        raise XPathError(f"unknown function {name}()/{n}")
+
+
+def _num_to_str(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if v == math.inf:
+        return "Infinity"
+    if v == -math.inf:
+        return "-Infinity"
+    if v == int(v):
+        return str(int(v))
+    return repr(v)
+
+
+def _num_cmp(op: str, a: float, b: float) -> bool:
+    if op == "=":
+        return a == b
+    if op == "!=":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    return a >= b
+
+
+def _generic_cmp(op: str, a, b, ev) -> bool:
+    if op in ("<", "<=", ">", ">="):
+        return _num_cmp(op, ev.to_number(a), ev.to_number(b))
+    if isinstance(a, bool) or isinstance(b, bool):
+        return _num_cmp(op, float(ev.to_boolean(a)), float(ev.to_boolean(b)))
+    if isinstance(a, float) or isinstance(b, float):
+        return _num_cmp(op, ev.to_number(a), ev.to_number(b))
+    return (a == b) if op == "=" else (a != b)
+
+
+def _arith(op: str, a: float, b: float) -> float:
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "div":
+        if b == 0.0:
+            if a == 0.0 or math.isnan(a):
+                return math.nan
+            return math.inf if a > 0 else -math.inf
+        return a / b
+    # mod: sign of the dividend (like Java %, unlike Python %)
+    if b == 0.0 or math.isnan(a) or math.isnan(b):
+        return math.nan
+    return math.fmod(a, b)
+
+
+def _xpath_round(v: float) -> float:
+    """round() per spec: half rounds toward +Infinity."""
+    if math.isnan(v) or math.isinf(v):
+        return v
+    return float(math.floor(v + 0.5))
+
+
+# ------------------------------ public API --------------------------------
+
+
 def _materialize(x):
     """Attribute results become synthetic Element+Text (xpath.cr:66-82)."""
     if isinstance(x, _AttrRef):
-        child = Node(type=1, data=x.val)  # TEXT_NODE
+        child = Node(type=TEXT_NODE, data=x.val)
         ret = Node(type=ELEMENT_NODE, data=x.key)
         ret.first_child = child
         ret.last_child = child
@@ -310,15 +846,13 @@ def _materialize(x):
 
 def _eval(node: Node, path: str):
     expr = _Parser(_tokenize(path)).parse()
-    if expr[0] == "count":
-        return float(len(_eval_path(expr[1], [node])))
-    return _eval_path(expr[1], [node])
+    return _Evaluator().eval(expr, node, 1, 1)
 
 
 def xpath(node: Node, path: str):
     """First match or None — xpath.cr:7-13."""
     res = _eval(node, path)
-    if isinstance(res, float):
+    if not isinstance(res, list):
         return None
     return _materialize(res[0]) if res else None
 
@@ -327,7 +861,7 @@ def xpath_nodes(node: Node, path: str) -> list[Node]:
     """All matches with the reference's first-element dedup quirk
     (xpath.cr:15-31)."""
     res = _eval(node, path)
-    if isinstance(res, float):
+    if not isinstance(res, list):
         return []
     elems: list[Node] = []
     for x in res:
@@ -354,18 +888,23 @@ def xpath_float(node: Node, path: str) -> float:
 
 def xpath_bool(node: Node, path: str) -> bool:
     res = _eval(node, path)
-    if isinstance(res, float):
-        return res != 0.0
-    return bool(res)
+    return _Evaluator().to_boolean(res)
+
+
+def xpath_string(node: Node, path: str) -> str:
+    """String result (or string-value conversion of any result)."""
+    res = _eval(node, path)
+    return _Evaluator().to_string(res)
 
 
 def xpath_evaluate(node: Node, path: str):
-    """Evaluate and return the appropriately-typed result (float for
-    count(), materialized node list for paths) — xpath.cr:49-53."""
+    """Evaluate and return the appropriately-typed result (float/str/bool
+    for value expressions, materialized node list for paths) —
+    xpath.cr:49-53."""
     res = _eval(node, path)
-    if isinstance(res, float):
-        return res
-    return [_materialize(x) for x in res]
+    if isinstance(res, list):
+        return [_materialize(x) for x in res]
+    return res
 
 
 def attribute_value(node: Node, name: str) -> str:

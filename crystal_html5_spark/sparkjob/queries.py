@@ -733,6 +733,59 @@ def _page_titles(spark, sf_dir: str) -> DataFrame:
     return pages.mapInArrow(titles, "url string, title string").orderBy("url")
 
 
+def _page_xpath_stats(spark, sf_dir: str) -> DataFrame:
+    """Full-XPath-1.0 extraction per page (round-2 surface): the
+    real-world query shapes the round-1 subset rejected — contains(),
+    normalize-space(), axes, positional predicates, count()."""
+    pages = _pages(spark, sf_dir).select("url", "html")
+
+    def stats(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.parser import parse
+        from crystal_html5_spark.html5x.xpath import (
+            xpath_float,
+            xpath_string,
+        )
+
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            titles, n_ref, first_nav, n_paras = [], [], [], []
+            for h in htmls:
+                try:
+                    doc = parse(h or b"")
+                    titles.append(
+                        xpath_string(doc, "normalize-space(//title)"))
+                    n_ref.append(int(xpath_float(
+                        doc,
+                        "count(//article//a[contains(@href, '/ref/')])")))
+                    first_nav.append(
+                        xpath_string(doc, "string(//nav//a[1]/@href)"))
+                    n_paras.append(int(xpath_float(
+                        doc,
+                        "count(//p[string-length(normalize-space()) > 0])")))
+                except Exception:  # noqa: BLE001 — malformed page -> nulls
+                    titles.append(None)
+                    n_ref.append(-1)
+                    first_nav.append(None)
+                    n_paras.append(-1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls), pa.array(titles, pa.string()),
+                 pa.array(n_ref, pa.int64()),
+                 pa.array(first_nav, pa.string()),
+                 pa.array(n_paras, pa.int64())],
+                names=["url", "title_norm", "n_ref_links",
+                       "first_nav_href", "n_nonempty_paras"],
+            )
+
+    return pages.mapInArrow(
+        stats,
+        "url string, title_norm string, n_ref_links bigint,"
+        " first_nav_href string, n_nonempty_paras bigint",
+    ).orderBy("url")
+
+
 def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
     """The full Common-Crawl flow in one plan: parse+extract (Arrow UDF)
     -> minhash near-dup grouping over the EXTRACTED main text (built-in
@@ -820,6 +873,7 @@ QUERIES: dict = {
     "extract_pages": _extract_pages,
     "page_links": _page_links,
     "page_titles": _page_titles,
+    "page_xpath_stats": _page_xpath_stats,
     "extract_lang_stats": _extract_lang_stats,
     "extract_near_dups": _extract_near_dups,
 }
