@@ -225,71 +225,137 @@ FROM documents
 ORDER BY doc_id
 """
 
-_DOCS_MINHASH_SPARK = """
-WITH words AS (
+# --- MinHash, production configuration ------------------------------------
+# 64 permutations, 16 bands x 4 rows (LSH threshold ~ (1/16)^(1/4) ~ 0.5
+# Jaccard — the realistic dedup operating point; the band count is the
+# recall/precision lever at 100 TB).  One md5 per shingle, then 64
+# universal-hash permutations (a*h + b) mod p in EXACT BIGINT arithmetic,
+# identical in Spark and DuckDB: the 8-hex-digit prefix converts to an
+# integer via instr('0123456789abcdef', ...) so no dialect-specific hex
+# functions are involved.
+
+_MH_PERMS = 64
+_MH_BANDS = 16
+_MH_ROWS = 4
+_MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _mh_perm_consts() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(77)
+    return [(rng.randrange(1, _MH_PRIME), rng.randrange(0, _MH_PRIME))
+            for _ in range(_MH_PERMS)]
+
+
+_WORDS_CTE_SPARK = """
+words AS (
   SELECT doc_id, pos, w
   FROM documents
   LATERAL VIEW posexplode(regexp_extract_all(text, '\\\\S+', 0)) t AS pos, w
-), shingles AS (
-  SELECT doc_id,
-         concat_ws(' ', w,
-           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
-         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-  FROM words
-), sigs AS (
-  SELECT doc_id,
-         min(md5(concat(s, '#1'))) AS sig1,
-         min(md5(concat(s, '#2'))) AS sig2,
-         min(md5(concat(s, '#3'))) AS sig3,
-         min(md5(concat(s, '#4'))) AS sig4
-  FROM shingles WHERE w3 IS NOT NULL
-  GROUP BY doc_id
-)
-SELECT doc_id, sig1, sig2, sig3, sig4 FROM sigs ORDER BY doc_id
-"""
+)"""
 
-_DOCS_MINHASH_DUCK = r"""
-WITH words AS (
+_WORDS_CTE_DUCK = r"""
+words AS (
   SELECT doc_id,
          generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos,
          unnest(regexp_extract_all(text, '\S+')) AS w
   FROM documents
-), shingles AS (
+)"""
+
+_SHINGLES_CTE = """
+shingles AS (
   SELECT doc_id,
          concat_ws(' ', w,
            lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
            lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
          lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
   FROM words
-), sigs AS (
-  SELECT doc_id,
-         min(md5(s || '#1')) AS sig1,
-         min(md5(s || '#2')) AS sig2,
-         min(md5(s || '#3')) AS sig3,
-         min(md5(s || '#4')) AS sig4
+)"""
+
+
+def _hex8_to_int_sql(col: str) -> str:
+    """First 8 hex digits of md5(col) as a BIGINT, in portable SQL."""
+    terms = [
+        f"(CAST(instr('0123456789abcdef',"
+        f" substr(md5({col}), {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _mh_sigs_cte() -> str:
+    """hashed + sigs CTEs: one md5 per shingle, 64 MIN aggregates."""
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MH_PRIME}) AS m{k + 1}"
+        for k, (a, b) in enumerate(_mh_perm_consts())
+    )
+    return f"""
+hashed AS (
+  SELECT doc_id, {_hex8_to_int_sql('s')} % {_MH_PRIME} AS h
   FROM shingles WHERE w3 IS NOT NULL
-  GROUP BY doc_id
-)
-SELECT doc_id, sig1, sig2, sig3, sig4 FROM sigs ORDER BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+)"""
+
+
+def _mh_bands_cte(dialect: str) -> str:
+    """bands CTE: (doc_id, band_no, band_key) — one pass over sigs,
+    16-way row expansion against a VALUES relation."""
+    cases = " ".join(
+        "WHEN {j} THEN md5(concat_ws('_', {cols}))".format(
+            j=j,
+            cols=", ".join(
+                f"m{j * _MH_ROWS + r + 1}" for r in range(_MH_ROWS)
+            ),
+        )
+        for j in range(_MH_BANDS)
+    )
+    vals = ",".join(f"({j})" for j in range(_MH_BANDS))
+    if dialect == "spark":
+        rel = f"(SELECT * FROM VALUES {vals} AS t(band_no))"
+    else:
+        rel = f"(VALUES {vals}) t(band_no)"
+    return f"""
+bands AS (
+  SELECT doc_id, band_no,
+         CASE band_no {cases} END AS band_key
+  FROM sigs CROSS JOIN {rel}
+)"""
+
+
+def _mh_prefix(dialect: str, with_bands: bool) -> str:
+    words = _WORDS_CTE_SPARK if dialect == "spark" else _WORDS_CTE_DUCK
+    out = f"WITH {words}, {_SHINGLES_CTE}, {_mh_sigs_cte()}"
+    if with_bands:
+        out += f", {_mh_bands_cte(dialect)}"
+    return out
+
+
+def _docs_minhash_sql(dialect: str) -> str:
+    cols = ", ".join(f"m{k + 1}" for k in range(_MH_PERMS))
+    return f"""{_mh_prefix(dialect, with_bands=False)}
+SELECT doc_id, {cols} FROM sigs ORDER BY doc_id
 """
 
-_DOCS_MINHASH_BANDS_SPARK = f"""
-WITH sigs AS ({_DOCS_MINHASH_SPARK.replace('ORDER BY doc_id', '')})
-SELECT concat(sig1, sig2) AS band, MIN(doc_id) AS keep_id,
-       COUNT(*) AS n_docs
-FROM sigs
-GROUP BY concat(sig1, sig2)
-ORDER BY band
+
+def _docs_minhash_bands_sql(dialect: str) -> str:
+    return f"""{_mh_prefix(dialect, with_bands=True)}
+SELECT band_no, band_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM bands
+GROUP BY band_no, band_key
+ORDER BY band_no, band_key
 """
 
-_DOCS_MINHASH_BANDS_DUCK = f"""
-WITH sigs AS ({_DOCS_MINHASH_DUCK.replace('ORDER BY doc_id', '')})
-SELECT sig1 || sig2 AS band, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-FROM sigs
-GROUP BY sig1 || sig2
-ORDER BY band
-"""
+
+_DOCS_MINHASH_SPARK = _docs_minhash_sql("spark")
+_DOCS_MINHASH_DUCK = _docs_minhash_sql("duck")
+_DOCS_MINHASH_BANDS_SPARK = _docs_minhash_bands_sql("spark")
+_DOCS_MINHASH_BANDS_DUCK = _docs_minhash_bands_sql("duck")
 
 # 16-bit SimHash from the first 4 hex digits of each word's md5: per bit,
 # words vote +1/-1; bit set iff the vote sum is >= 0.  Engine-portable:
@@ -334,104 +400,67 @@ _WORDS_SRC_DUCK = (
 _DOCS_SIMHASH_SPARK = _simhash_sql(_WORDS_SRC_SPARK)
 _DOCS_SIMHASH_DUCK = _simhash_sql(_WORDS_SRC_DUCK)
 
-# Near-dup candidate PAIRS: docs whose minhash band (sig1+sig2) collides,
-# emitted as ordered (a, b) pairs with their full-signature agreement.
-_DOCS_NEAR_DUP_PAIRS_SPARK = f"""
-WITH sigs AS ({_DOCS_MINHASH_SPARK.replace('ORDER BY doc_id', '')})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST((CASE WHEN a.sig1 = b.sig1 THEN 1 ELSE 0 END)
-          + (CASE WHEN a.sig2 = b.sig2 THEN 1 ELSE 0 END)
-          + (CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END)
-          + (CASE WHEN a.sig4 = b.sig4 THEN 1 ELSE 0 END) AS INT)
-         AS n_sig_agree
-FROM sigs a JOIN sigs b
-  ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
+# Near-dup candidate PAIRS: docs colliding in ANY of the 16 bands (the
+# real LSH candidate generation — a band-keyed equi-join, never all-pairs),
+# with the number of agreeing bands as the similarity hint.
+def _docs_near_dup_pairs_sql(dialect: str) -> str:
+    return f"""{_mh_prefix(dialect, with_bands=True)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands_agree
+FROM bands a JOIN bands b
+  ON a.band_no = b.band_no AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
 ORDER BY doc_a, doc_b
 """
 
-_DOCS_NEAR_DUP_PAIRS_DUCK = f"""
-WITH sigs AS ({_DOCS_MINHASH_DUCK.replace('ORDER BY doc_id', '')})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST((CASE WHEN a.sig1 = b.sig1 THEN 1 ELSE 0 END)
-          + (CASE WHEN a.sig2 = b.sig2 THEN 1 ELSE 0 END)
-          + (CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END)
-          + (CASE WHEN a.sig4 = b.sig4 THEN 1 ELSE 0 END) AS INT)
-         AS n_sig_agree
-FROM sigs a JOIN sigs b
-  ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
-"""
 
-# Exact 3-gram Jaccard verification of the minhash band candidates: the
-# candidate pairs are cheap (band join), the expensive exact set
-# intersection runs only on those pairs.  Integer outputs (Jaccard in
-# 1/1000ths via FLOOR) keep the oracle hash-stable.
-_DOCS_JACCARD_VERIFY_SPARK = f"""
-WITH sigs AS ({_DOCS_MINHASH_SPARK.replace('ORDER BY doc_id', '')}),
+_DOCS_NEAR_DUP_PAIRS_SPARK = _docs_near_dup_pairs_sql("spark")
+_DOCS_NEAR_DUP_PAIRS_DUCK = _docs_near_dup_pairs_sql("duck")
+
+# Exact 3-gram Jaccard verification of the LSH candidates: the candidate
+# pairs are cheap (band-keyed join), the expensive exact set intersection
+# runs only on those pairs.  Integer outputs (Jaccard in 1/1000ths via
+# FLOOR) keep the oracle hash-stable.
+_JACCARD_PAIRS_CTE = """
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b
-    ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
-),
-words AS (
-  SELECT doc_id, pos, w
-  FROM documents
-  LATERAL VIEW posexplode(regexp_extract_all(text, '\\\\S+', 0)) t AS pos, w
-),
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)"""
+
+
+def _docs_jaccard_verify_sql(dialect: str) -> str:
+    if dialect == "spark":
+        sh = """
 sh AS (
-  SELECT doc_id, collect_set(s) AS shingles FROM (
-    SELECT doc_id,
-           concat_ws(' ', w,
-             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
-           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-    FROM words) x
-  WHERE w3 IS NOT NULL GROUP BY doc_id
-)
+  SELECT doc_id, collect_set(s) AS sset
+  FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
+)"""
+        inter = "size(array_intersect(a.sset, b.sset))"
+        card = "size({0}.sset)"
+    else:
+        sh = """
+sh AS (
+  SELECT doc_id, list(DISTINCT s) AS sset
+  FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
+)"""
+        inter = "len(list_intersect(a.sset, b.sset))"
+        card = "len({0}.sset)"
+    na, nb = card.format("a"), card.format("b")
+    return f"""{_mh_prefix(dialect, with_bands=True)}, {_JACCARD_PAIRS_CTE}, {sh}
 SELECT doc_a, doc_b,
-       size(array_intersect(a.shingles, b.shingles)) AS n_common,
-       size(a.shingles) AS n_a, size(b.shingles) AS n_b,
-       CAST(FLOOR(1000.0 * size(array_intersect(a.shingles, b.shingles))
-            / (size(a.shingles) + size(b.shingles)
-               - size(array_intersect(a.shingles, b.shingles))))
+       {inter} AS n_common,
+       {na} AS n_a, {nb} AS n_b,
+       CAST(FLOOR(1000.0 * {inter} / ({na} + {nb} - {inter}))
             AS BIGINT) AS jaccard_millis
 FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
 ORDER BY doc_a, doc_b
 """
 
-_DOCS_JACCARD_VERIFY_DUCK = f"""
-WITH sigs AS ({_DOCS_MINHASH_DUCK.replace('ORDER BY doc_id', '')}),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b
-    ON a.sig1 = b.sig1 AND a.sig2 = b.sig2 AND a.doc_id < b.doc_id
-),
-words AS (
-  SELECT doc_id,
-         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) - 1 AS pos,
-         unnest(regexp_extract_all(text, '\\S+')) AS w
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, list(DISTINCT s) AS shingles FROM (
-    SELECT doc_id,
-           concat_ws(' ', w,
-             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
-           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-    FROM words) x
-  WHERE w3 IS NOT NULL GROUP BY doc_id
-)
-SELECT doc_a, doc_b,
-       len(list_intersect(a.shingles, b.shingles)) AS n_common,
-       len(a.shingles) AS n_a, len(b.shingles) AS n_b,
-       CAST(FLOOR(1000.0 * len(list_intersect(a.shingles, b.shingles))
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))))
-            AS BIGINT) AS jaccard_millis
-FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
-ORDER BY doc_a, doc_b
-"""
+
+_DOCS_JACCARD_VERIFY_SPARK = _docs_jaccard_verify_sql("spark")
+_DOCS_JACCARD_VERIFY_DUCK = _docs_jaccard_verify_sql("duck")
 
 # Top-k shape that scales: the inner ORDER BY ... LIMIT 10 is planned by
 # Catalyst as TakeOrderedAndProject (per-partition top-10 + tiny driver
