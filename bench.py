@@ -102,6 +102,23 @@ def main() -> None:
         "cpus": cpus,
     }
     spark.stop()
+
+    # Per-round history so round N+1 can answer "which queries regressed".
+    try:
+        hist = pathlib.Path(__file__).resolve().parent / "BENCH" \
+            / "history.jsonl"
+        hist.parent.mkdir(exist_ok=True)
+        with hist.open("a") as f:
+            f.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "loadavg": float(open("/proc/loadavg").read().split()[0]),
+                **{k: result[k] for k in
+                   ("queries", "sf", "cpus", "docs_extracted",
+                    "docs_per_sec", "text_bytes", "value")},
+            }) + "\n")
+    except OSError:
+        pass  # history is best-effort; never break the bench contract
+
     print(json.dumps(result))
 
 

@@ -684,6 +684,23 @@ def _pages(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pages_parquet(spark, n_pages_for_sf(sf_dir)))
 
 
+# page_links/page_titles are CSS/XPath-through-Spark correctness
+# showcases with a frozen independent oracle (tests/fixtures/expected/*,
+# produced by the in-process engine via scripts/freeze_expected.py), so
+# they run over a FIXED 500-page fixture at every sf.  Throughput scaling
+# is extract_pipeline's job, not theirs.
+_FIXED_PAGES_N = 500
+
+import pathlib as _pathlib  # noqa: E402
+
+_EXPECTED_DIR = _pathlib.Path(__file__).resolve().parents[2] \
+    / "tests" / "fixtures" / "expected"
+
+
+def _pages_fixed(spark) -> DataFrame:
+    return spark.read.parquet(pages_parquet(spark, _FIXED_PAGES_N))
+
+
 def _extract_pages(spark, sf_dir: str) -> DataFrame:
     out = run_extract(spark, _pages(spark, sf_dir))
     return out.select(
@@ -696,8 +713,9 @@ def _extract_pages(spark, sf_dir: str) -> DataFrame:
 
 
 def _page_links(spark, sf_dir: str) -> DataFrame:
-    """CSS-driven link extraction per page (a[href])."""
-    pages = _pages(spark, sf_dir).select("url", "html")
+    """CSS-driven link extraction per page (a[href]); oracle-checked
+    against the frozen in-process-engine output."""
+    pages = _pages_fixed(spark).select("url", "html")
 
     def links(iterator):
         import pyarrow as pa
@@ -732,8 +750,9 @@ def _page_links(spark, sf_dir: str) -> DataFrame:
 
 
 def _page_titles(spark, sf_dir: str) -> DataFrame:
-    """XPath-driven title extraction per page (//title)."""
-    pages = _pages(spark, sf_dir).select("url", "html")
+    """XPath-driven title extraction per page (//title); oracle-checked
+    against the frozen in-process-engine output."""
+    pages = _pages_fixed(spark).select("url", "html")
 
     def titles(iterator):
         import pyarrow as pa
@@ -931,6 +950,20 @@ ORACLES: dict = {
     "ann_cosine_topk": _ANN_TOPK_DUCK,
     "ann_lsh_buckets": _ann_lsh_buckets_oracle(),
     "ann_lsh_topk": _ann_lsh_topk_oracle(),
-    # extract_pages, page_links, page_titles, extract_lang_stats,
-    # extract_near_dups, media_features: non-SQL-expressible -> rows-only.
+    # The parser is not SQL-expressible, but its expected output IS
+    # checkable: these parquets were produced by the golden-verified
+    # in-process engine (scripts/freeze_expected.py), so the driver's
+    # three-way compare runs Spark-through-Arrow vs an independent path.
+    "page_links": (
+        "SELECT url, n_links, first_href FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'page_links_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY url"
+    ),
+    "page_titles": (
+        "SELECT url, title FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'page_titles_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY url"
+    ),
+    # extract_pages, extract_lang_stats, extract_near_dups,
+    # page_xpath_stats, media_features: non-SQL-expressible -> rows-only.
 }

@@ -46,7 +46,10 @@ def _norm(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # repr-keyed sort: tuples may mix None with strings (nullable cols)
+    out.sort(key=lambda t: tuple(repr(x) for x in t))
+    return out
 
 
 ORACLE_NAMES = sorted(entrymod.oracle_sql())
