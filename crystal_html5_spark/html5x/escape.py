@@ -128,16 +128,45 @@ def _unescape_entity(b: bytes, out: bytearray, src: int, attribute: bool) -> int
     return src + i
 
 
+# Memo for semicolon-terminated references: raw span -> decoded bytes.
+# Such spans decode position-independently, but text and attribute mode
+# still diverge on unknown names (longest-prefix fallback is text-only),
+# so each mode gets its own cache.  &amp; / &#169; style refs dominate.
+import re as _re
+
+_RE_ENTREF = _re.compile(rb"&(?:#[0-9]+;|#[xX][0-9a-fA-F]+;|[0-9A-Za-z]+;)")
+_ENT_CACHES: tuple[dict, dict] = ({}, {})
+
+
 def unescape(b: bytes, attribute: bool) -> bytes:
     """Decode all entities in ``b`` (escape.cr:193-212)."""
     amp = b.find(b"&")
     if amp == -1:
         return b
+    cache = _ENT_CACHES[attribute]
     out = bytearray(b[:amp])
     src = amp
     n = len(b)
     while src < n:
         if b[src] == _AMP:
+            m = _RE_ENTREF.match(b, src)
+            if m is not None:
+                span = m.group()
+                rep = cache.get(span)
+                if rep is None:
+                    tmp = bytearray()
+                    end = _unescape_entity(b, tmp, src, attribute)
+                    rep = bytes(tmp)
+                    if end == m.end() and len(cache) < 4096:
+                        # consumed exactly the ;-terminated span ->
+                        # position-independent, safe to memoize
+                        cache[span] = rep
+                    out += rep
+                    src = end
+                    continue
+                out += rep
+                src += len(span)
+                continue
             src = _unescape_entity(b, out, src, attribute)
         else:
             nxt = b.find(b"&", src + 1)

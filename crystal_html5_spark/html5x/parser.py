@@ -52,10 +52,10 @@ SELECT_SCOPE = 6
 
 # Stop tags for pop_until (parser.cr:7-11).
 DEFAULT_SCOPE_STOP_TAGS = {
-    "": ("applet", "caption", "html", "table", "td", "th", "marquee",
-         "object", "template"),
-    "math": ("annotation-xml", "mi", "mn", "mo", "ms", "mtext"),
-    "svg": ("desc", "foreignObject", "title"),
+    "": frozenset(("applet", "caption", "html", "table", "td", "th",
+                   "marquee", "object", "template")),
+    "math": frozenset(("annotation-xml", "mi", "mn", "mo", "ms", "mtext")),
+    "svg": frozenset(("desc", "foreignObject", "title")),
 }
 
 _IMPLIED_END_TAGS = frozenset((
@@ -63,6 +63,40 @@ _IMPLIED_END_TAGS = frozenset((
 ))
 
 _TABLE_FOSTER_ATOMS = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
+
+# in_body_im hot-path membership groups (frozensets: the elif chain tests
+# several of these per token, and the long tuples were linear scans).
+_IB_HEAD_GROUP = frozenset((
+    "base", "basefont", "bgsound", "link", "meta", "noframes", "script",
+    "style", "template", "title",
+))
+_IB_BLOCK = frozenset((
+    "address", "article", "aside", "blockquote", "center", "details",
+    "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+    "footer", "header", "hgroup", "main", "menu", "nav", "ol", "p",
+    "section", "summary", "ul",
+))
+_H1_H6 = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_IB_FORMATTING = frozenset((
+    "b", "big", "code", "em", "font", "i", "s", "small", "strike",
+    "strong", "tt", "u",
+))
+_IB_VOID = frozenset(("area", "br", "embed", "img", "input", "keygen",
+                      "wbr"))
+_IB_IGNORE = frozenset((
+    "caption", "col", "colgroup", "frame", "head", "tbody", "td", "tfoot",
+    "th", "thead", "tr",
+))
+_IB_END_BLOCK = frozenset((
+    "address", "article", "aside", "blockquote", "button", "center",
+    "details", "dialog", "dir", "div", "dl", "fieldset", "figcaption",
+    "figure", "footer", "header", "hgroup", "listing", "main", "menu",
+    "nav", "ol", "pre", "section", "summary", "ul",
+))
+_IB_END_FORMATTING = frozenset((
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u",
+))
 
 
 def _index(stack: list[Node], n: Node) -> int:
@@ -243,10 +277,13 @@ class Parser:
 
     def index_of_element_in_scope(self, s: int, *match_tags: str) -> int:
         oe = self.oe
+        check_stop = s <= BUTTON_SCOPE  # DEFAULT/LIST_ITEM/BUTTON are 0,1,2
+        stop_tags = DEFAULT_SCOPE_STOP_TAGS
         for i in range(len(oe) - 1, -1, -1):
             n = oe[i]
             tag_atom = n.data_atom
-            if n.namespace == "":
+            ns = n.namespace
+            if ns == "":
                 if tag_atom in match_tags:
                     return i
                 if s == LIST_ITEM_SCOPE:
@@ -261,8 +298,8 @@ class Parser:
                 elif s == SELECT_SCOPE:
                     if tag_atom not in ("optgroup", "option"):
                         return -1
-            if s in (DEFAULT_SCOPE, LIST_ITEM_SCOPE, BUTTON_SCOPE):
-                stop = DEFAULT_SCOPE_STOP_TAGS.get(n.namespace)
+            if check_stop:
+                stop = stop_tags.get(ns)
                 if stop and tag_atom in stop:
                     return -1
         return -1
@@ -320,7 +357,7 @@ class Parser:
     # -- tree building (parser.cr:217-309) ------------------------------------
 
     def add_child(self, n: Node) -> None:
-        if self.should_foster_parent():
+        if self.foster_parenting and self.should_foster_parent():
             self.foster_parent(n)
         else:
             self.top().append_child(n)
@@ -364,7 +401,7 @@ class Parser:
     def add_text(self, text: str) -> None:
         if not text:
             return
-        if self.should_foster_parent():
+        if self.foster_parenting and self.should_foster_parent():
             self.foster_parent(Node(type=TEXT_NODE, data=text))
             return
         t = self.top()
@@ -375,18 +412,22 @@ class Parser:
         self.add_child(Node(type=TEXT_NODE, data=text))
 
     def add_element(self) -> None:
+        # The token's Attribute objects transfer to the element without
+        # cloning: each Token is materialized fresh per tokenizer token and
+        # creates at most one element, so ownership is exclusive (the
+        # reference clones because its Token is a reused struct).
         self.add_child(Node(
             type=ELEMENT_NODE,
             data_atom=self.token.data_atom,
             data=self.token.data,
-            attr=[a.clone() for a in self.token.attr],
+            attr=self.token.attr,
         ))
 
     # -- active formatting elements (parser.cr:312-375) -----------------------
 
     def add_formatting_element(self) -> None:
         tag_atom = self.token.data_atom
-        attr = [a.clone() for a in self.token.attr]
+        attr = self.token.attr  # value-compared only (Noah's Ark)
         self.add_element()
         # Noah's Ark clause, three per family (parser.cr:316-343).
         identical_elements = 0
@@ -591,15 +632,19 @@ class Parser:
         self.has_self_closing_token = False
 
     def parse(self) -> None:
+        tokenizer = self.tokenizer
+        oe = self.oe
+        reuse = Token()
         while True:
-            n = self.oe[-1] if self.oe else None
-            if n is not None:
-                self.tokenizer.allow_cdata = n.namespace != ""
-            self.tokenizer.next()
-            self.token = self.tokenizer.token()
+            tokenizer.allow_cdata = bool(oe) and oe[-1].namespace != ""
+            t = self.token = tokenizer.next_token(reuse)
             self.parse_current_token()
-            if self.token.type == tk.ERROR and self.tokenizer.eof:
+            if t.type == tk.ERROR and tokenizer.eof:
                 break
+            if self.token is not t:
+                # an implied-token pump left a different object installed;
+                # never overwrite a token we do not own
+                reuse = Token()
 
     # -- adoption agency (parser.cr:532-669) -------------------------------------
 
@@ -974,8 +1019,7 @@ class Parser:
                 if _contains(self.oe, "template"):
                     return True
                 copy_attributes(self.oe[0], t)
-            elif a in ("base", "basefont", "bgsound", "link", "meta",
-                       "noframes", "script", "style", "template", "title"):
+            elif a in _IB_HEAD_GROUP:
                 return self.in_head_im()
             elif a == "body":
                 if _contains(self.oe, "template"):
@@ -999,17 +1043,13 @@ class Parser:
                 self.add_element()
                 self.im = self.in_frameset_im
                 return True
-            elif a in ("address", "article", "aside", "blockquote", "center",
-                       "details", "dialog", "dir", "div", "dl", "fieldset",
-                       "figcaption", "figure", "footer", "header", "hgroup",
-                       "main", "menu", "nav", "ol", "p", "section", "summary",
-                       "ul"):
+            elif a in _IB_BLOCK:
                 self.pop_until(BUTTON_SCOPE, "p")
                 self.add_element()
-            elif a in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            elif a in _H1_H6:
                 self.pop_until(BUTTON_SCOPE, "p")
                 n = self.top()
-                if n.data_atom in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                if n.data_atom in _H1_H6:
                     self.oe.pop()
                 self.add_element()
             elif a in ("pre", "listing"):
@@ -1076,8 +1116,7 @@ class Parser:
                     i -= 1
                 self.reconstruct_active_formatting_elements()
                 self.add_formatting_element()
-            elif a in ("b", "big", "code", "em", "font", "i", "s", "small",
-                       "strike", "strong", "tt", "u"):
+            elif a in _IB_FORMATTING:
                 self.reconstruct_active_formatting_elements()
                 self.add_formatting_element()
             elif a == "nobr":
@@ -1098,8 +1137,7 @@ class Parser:
                 self.frameset_ok = False
                 self.im = self.in_table_im
                 return True
-            elif a in ("area", "br", "embed", "img", "input", "keygen",
-                       "wbr"):
+            elif a in _IB_VOID:
                 self.reconstruct_active_formatting_elements()
                 self.add_element()
                 self.oe.pop()
@@ -1179,8 +1217,7 @@ class Parser:
                     self.oe.pop()
                     self.acknowledge_self_closing_tag()
                 return True
-            elif a in ("caption", "col", "colgroup", "frame", "head",
-                       "tbody", "td", "tfoot", "th", "thead", "tr"):
+            elif a in _IB_IGNORE:
                 pass  # ignore the token
             else:
                 self.reconstruct_active_formatting_elements()
@@ -1195,11 +1232,7 @@ class Parser:
                     self.parse_implied_token(tk.END_TAG, "body", "body")
                     return False
                 return True
-            elif a in ("address", "article", "aside", "blockquote", "button",
-                       "center", "details", "dialog", "dir", "div", "dl",
-                       "fieldset", "figcaption", "figure", "footer", "header",
-                       "hgroup", "listing", "main", "menu", "nav", "ol",
-                       "pre", "section", "summary", "ul"):
+            elif a in _IB_END_BLOCK:
                 self.pop_until(DEFAULT_SCOPE, a)
             elif a == "form":
                 if _contains(self.oe, "template"):
@@ -1229,8 +1262,7 @@ class Parser:
             elif a in ("h1", "h2", "h3", "h4", "h5", "h6"):
                 self.pop_until(DEFAULT_SCOPE, "h1", "h2", "h3", "h4", "h5",
                                "h6")
-            elif a in ("a", "b", "big", "code", "em", "font", "i", "nobr",
-                       "s", "small", "strike", "strong", "tt", "u"):
+            elif a in _IB_END_FORMATTING:
                 self.in_body_end_tag_formatting(a, t.data)
             elif a in ("applet", "marquee", "object"):
                 if self.pop_until(DEFAULT_SCOPE, a):

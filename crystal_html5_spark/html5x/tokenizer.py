@@ -42,6 +42,23 @@ _RE_NON_WS = re.compile(rb"[^ \n\r\t\f]")
 _RE_TAG_NAME_END = re.compile(rb"[ \n\r\t\f/>]")
 _RE_ATTR_KEY_END = re.compile(rb"[ \n\r\t\f/=>]")
 _RE_UNQUOTED_END = re.compile(rb"[ \n\r\t\f>]")
+
+# Master tag pattern: matches an ENTIRE well-formed tag in one C-level
+# regex call — simple name, ws-separated attrs with quoted-or-no values,
+# optional "/>".  Anything unusual (unquoted values, ws around '=', '/'
+# separators, exotic name bytes, EOF truncation) deliberately fails the
+# match and falls back to the exact state machine.  For the shapes it
+# accepts, the produced spans are identical to the state machine's
+# (valueless attrs get a different-but-empty value span, which no
+# consumer can observe: values are only ever sliced).
+_RE_SIMPLE_TAG = re.compile(
+    rb"([a-zA-Z][a-zA-Z0-9:_-]*)"
+    rb"((?:[ \n\r\t\f]+[^ \n\r\t\f/=>]+(?:=(?:\"[^\"]*\"|'[^']*'))?)*)"
+    rb"[ \n\r\t\f]*/?>"
+)
+_RE_SIMPLE_ATTR = re.compile(
+    rb"[ \n\r\t\f]+([^ \n\r\t\f/=>]+)(?:=(?:\"([^\"]*)\"|'([^']*)'))?"
+)
 _RE_COMMENT_INTEREST = re.compile(rb"[->!]")
 _RE_DASH_LT = re.compile(rb"[-<]")
 
@@ -140,6 +157,10 @@ class Token:
 # Interned (raw bytes -> lowered str [, atom]) caches shared per process.
 _NAME_CACHE: dict[bytes, tuple[str, str]] = {}
 _KEY_CACHE: dict[bytes, str] = {}
+
+# Shared empty attr list for non-tag tokens: elements only ever take the
+# attr list of START_TAG tokens, which is always freshly built.
+_EMPTY_ATTRS: list = []
 
 
 class Tokenizer:
@@ -576,9 +597,9 @@ class Tokenizer:
     # -- tags -------------------------------------------------------------
 
     def _start_tag_in(self, *names: str) -> bool:
-        span = self.buf[self.data_start:self.data_end]
-        low = bytes(c + 32 if 0x41 <= c <= 0x5A else c for c in span)
-        return low.decode("latin-1") in names
+        # bytes.lower() is ASCII-only (A-Z -> a-z), exactly the c+32 rule.
+        span = self.buf[self.data_start:self.data_end].lower()
+        return span.decode("latin-1") in names
 
     def _read_start_tag(self) -> int:
         self._read_tag(True)
@@ -607,6 +628,150 @@ class Tokenizer:
         return START_TAG
 
     def _read_tag(self, save_attr: bool) -> None:
+        if self.max_buf:
+            self._read_tag_checked(save_attr)
+            return
+        # Fast path (no byte cap): same state machine, local cursors, no
+        # per-byte method calls.  Byte-identical to _read_tag_checked —
+        # the golden suites + max_buf sweep gate both.
+        buf = self.buf
+        n = self.n
+        attr = self.attr = []
+        append = attr.append
+        self.n_attr_returned = 0
+        # Whole-tag master regex: one C call for the common shape.
+        m = _RE_SIMPLE_TAG.match(buf, self.pos - 1)
+        if m is not None:
+            self.data_start = self.pos - 1
+            self.data_end = m.end(1)
+            self.pos = m.end()
+            if save_attr:
+                a_start, a_end = m.span(2)
+                if a_start < a_end:
+                    for am in _RE_SIMPLE_ATTR.finditer(buf, a_start, a_end):
+                        ks, ke = am.span(1)
+                        vs, ve = am.span(2)
+                        if vs == -1:
+                            vs, ve = am.span(3)
+                            if vs == -1:
+                                vs = ve = ke  # valueless: empty span
+                        append((ks, ke, vs, ve))
+            return
+        # tag name
+        self.data_start = self.pos - 1
+        m = _RE_TAG_NAME_END.search(buf, self.pos)
+        if m is None:
+            self.pos = n
+            self.eof = True
+            self.data_end = n
+            return
+        s = m.start()
+        if buf[s] in (0x2F, 0x3E):  # '/' '>' not consumed
+            pos = s
+            self.data_end = s
+        else:
+            pos = s + 1
+            self.data_end = s
+        # whitespace before first attr
+        m = _RE_NON_WS.search(buf, pos)
+        if m is None:
+            self.pos = n
+            self.eof = True
+            return
+        pos = m.start()
+        while True:
+            if pos >= n:
+                self.pos = n
+                self.eof = True
+                return
+            if buf[pos] == 0x3E:  # '>'
+                self.pos = pos + 1
+                return
+            # attribute key
+            ks = pos
+            m = _RE_ATTR_KEY_END.search(buf, pos)
+            if m is None:
+                self.pos = n
+                self.eof = True
+                if save_attr and ks != n:
+                    append((ks, n, n, n))
+                return
+            s = m.start()
+            if buf[s] in (0x3D, 0x3E):  # '=' '>' not consumed
+                pos = s
+                ke = s
+            else:
+                pos = s + 1
+                ke = s
+            # attribute value
+            vs = ve = pos
+            m = _RE_NON_WS.search(buf, pos)
+            if m is None:
+                self.pos = n
+                self.eof = True
+                if save_attr and ks != ke:
+                    append((ks, ke, vs, ve))
+                return
+            pos = m.start()
+            # pos < n here (regex matched a non-ws byte)
+            c = buf[pos]
+            if c != 0x3D:  # no '=': valueless attribute
+                if save_attr and ks != ke:
+                    append((ks, ke, vs, ve))
+                continue
+            pos += 1
+            m = _RE_NON_WS.search(buf, pos)
+            if m is None:
+                self.pos = n
+                self.eof = True
+                if save_attr and ks != ke:
+                    append((ks, ke, vs, ve))
+                return
+            pos = m.start()
+            quote = buf[pos]
+            pos += 1
+            if quote == 0x3E:
+                pos -= 1
+                if save_attr and ks != ke:
+                    append((ks, ke, vs, ve))
+                continue
+            if quote in (0x27, 0x22):  # ' "
+                vs = pos
+                q = buf.find(quote.to_bytes(1, "big"), pos)
+                if q == -1:
+                    self.pos = n
+                    self.eof = True
+                    if save_attr and ks != ke:
+                        append((ks, ke, vs, n))
+                    return
+                pos = q + 1
+                ve = q
+            else:
+                vs = pos - 1
+                m = _RE_UNQUOTED_END.search(buf, pos)
+                if m is None:
+                    self.pos = n
+                    self.eof = True
+                    if save_attr and ks != ke:
+                        append((ks, ke, vs, n))
+                    return
+                s = m.start()
+                if buf[s] == 0x3E:
+                    pos = s
+                    ve = s
+                else:
+                    pos = s + 1
+                    ve = s
+            if save_attr and ks != ke:
+                append((ks, ke, vs, ve))
+            m = _RE_NON_WS.search(buf, pos)
+            if m is None:
+                self.pos = n
+                self.eof = True
+                return
+            pos = m.start()
+
+    def _read_tag_checked(self, save_attr: bool) -> None:
         self.attr = []
         self.n_attr_returned = 0
         self._read_tag_name()
@@ -734,61 +899,129 @@ class Tokenizer:
         self.convert_nul = False
 
         buf = self.buf
-        while True:
-            lt = buf.find(b"<", self.pos)
-            if lt == -1:
-                self._set_pos(self.n)
-                self.eof = True
-                break
-            self._set_pos(lt + 1)
-            c = self._read_byte()
-            if self.eof:
-                break
-            if 0x61 <= c <= 0x7A or 0x41 <= c <= 0x5A:
-                token_type = START_TAG
-            elif c == 0x2F:
-                token_type = END_TAG
-            elif c in (0x21, 0x3F):
-                token_type = COMMENT
-            else:
-                self.pos -= 1
-                continue
+        if not self.max_buf:
+            # Fast scan loop (no byte cap): local cursor, no per-byte
+            # method calls.  Byte-identical to the checked loop below.
+            n = self.n
+            pos = self.pos
+            while True:
+                lt = buf.find(b"<", pos)
+                if lt == -1:
+                    self.pos = n
+                    self.eof = True
+                    break
+                pos = lt + 1
+                if pos >= n:
+                    self.pos = n
+                    self.eof = True
+                    break
+                c = buf[pos]
+                pos += 1
+                if 0x61 <= c <= 0x7A or 0x41 <= c <= 0x5A:
+                    token_type = START_TAG
+                elif c == 0x2F:
+                    token_type = END_TAG
+                elif c in (0x21, 0x3F):
+                    token_type = COMMENT
+                else:
+                    pos -= 1
+                    continue
 
-            # Emit accumulated text before the non-text token.
-            x = self.pos - 2
-            if self.raw_start < x:
-                self.pos = x
-                self.data_end = x
-                self.tt = TEXT
-                return self.tt
+                # Emit accumulated text before the non-text token.
+                x = pos - 2
+                if self.raw_start < x:
+                    self.pos = x
+                    self.data_end = x
+                    self.tt = TEXT
+                    return self.tt
 
-            if token_type == START_TAG:
-                self.tt = self._read_start_tag()
+                self.pos = pos
+                if token_type == START_TAG:
+                    self.tt = self._read_start_tag()
+                    return self.tt
+                if token_type == END_TAG:
+                    if pos >= n:
+                        self.pos = n
+                        self.eof = True
+                        break
+                    c = buf[pos]
+                    self.pos = pos + 1
+                    if c == 0x3E:
+                        # "</>" yields an empty comment (token.cr:908-915)
+                        self.tt = COMMENT
+                        return self.tt
+                    if 0x61 <= c <= 0x7A or 0x41 <= c <= 0x5A:
+                        self._read_tag(False)
+                        self.tt = ERROR if self.eof else END_TAG
+                        return self.tt
+                    self.pos = pos
+                    self._read_until_close_angle()
+                    self.tt = COMMENT
+                    return self.tt
+                # COMMENT dispatch
+                if c == 0x21:
+                    self.tt = self._read_markup_declaration()
+                    return self.tt
+                self.pos = pos - 1
+                self._read_until_close_angle()
+                self.tt = COMMENT
                 return self.tt
-            if token_type == END_TAG:
+        else:
+            while True:
+                lt = buf.find(b"<", self.pos)
+                if lt == -1:
+                    self._set_pos(self.n)
+                    self.eof = True
+                    break
+                self._set_pos(lt + 1)
                 c = self._read_byte()
                 if self.eof:
                     break
-                if c == 0x3E:
-                    # "</>" yields an empty comment token (token.cr:908-915)
+                if 0x61 <= c <= 0x7A or 0x41 <= c <= 0x5A:
+                    token_type = START_TAG
+                elif c == 0x2F:
+                    token_type = END_TAG
+                elif c in (0x21, 0x3F):
+                    token_type = COMMENT
+                else:
+                    self.pos -= 1
+                    continue
+
+                # Emit accumulated text before the non-text token.
+                x = self.pos - 2
+                if self.raw_start < x:
+                    self.pos = x
+                    self.data_end = x
+                    self.tt = TEXT
+                    return self.tt
+
+                if token_type == START_TAG:
+                    self.tt = self._read_start_tag()
+                    return self.tt
+                if token_type == END_TAG:
+                    c = self._read_byte()
+                    if self.eof:
+                        break
+                    if c == 0x3E:
+                        # "</>" yields an empty comment (token.cr:908-915)
+                        self.tt = COMMENT
+                        return self.tt
+                    if 0x61 <= c <= 0x7A or 0x41 <= c <= 0x5A:
+                        self._read_tag(False)
+                        self.tt = ERROR if self.eof else END_TAG
+                        return self.tt
+                    self.pos -= 1
+                    self._read_until_close_angle()
                     self.tt = COMMENT
                     return self.tt
-                if 0x61 <= c <= 0x7A or 0x41 <= c <= 0x5A:
-                    self._read_tag(False)
-                    self.tt = ERROR if self.eof else END_TAG
+                # COMMENT dispatch
+                if c == 0x21:
+                    self.tt = self._read_markup_declaration()
                     return self.tt
                 self.pos -= 1
                 self._read_until_close_angle()
                 self.tt = COMMENT
                 return self.tt
-            # COMMENT dispatch
-            if c == 0x21:
-                self.tt = self._read_markup_declaration()
-                return self.tt
-            self.pos -= 1
-            self._read_until_close_angle()
-            self.tt = COMMENT
-            return self.tt
 
         if self.raw_start < self.pos:
             self.data_end = self.pos
@@ -844,6 +1077,70 @@ class Tokenizer:
                 self.n_attr_returned < len(self.attr),
             )
         return None, None, False
+
+    def next_token(self, reuse: Token | None = None) -> Token:
+        """next() + token() in one call — the parser's per-token hot path.
+
+        With ``reuse`` the caller provides a Token to overwrite (the parser
+        owns exactly one in-flight token at a time; element nodes take the
+        fresh attr LIST, never the Token object, so overwriting is safe)."""
+        self.next()
+        tt = self.tt
+        if reuse is None:
+            return self.token()
+        t = reuse
+        t.type = tt
+        if tt in (TEXT, COMMENT, DOCTYPE):
+            t.data_atom = ""
+            t.data = b2s(self.text() or b"")
+            t.attr = _EMPTY_ATTRS
+        elif tt in (START_TAG, SELF_CLOSING_TAG, END_TAG):
+            self._fill_tag_token(t, tt)
+        else:
+            t.data_atom = ""
+            t.data = ""
+            t.attr = _EMPTY_ATTRS
+        return t
+
+    def _fill_tag_token(self, t: Token, tt: int) -> None:
+        buf = self.buf
+        if self.data_start < self.data_end:
+            raw_name = buf[self.data_start:self.data_end]
+        else:
+            raw_name = b""
+        self.data_start = self.pos
+        self.data_end = self.pos
+        cached = _NAME_CACHE.get(raw_name)
+        if cached is None:
+            name_s = b2s(lower_bytes(raw_name))
+            cached = (name_s, atom_lookup(name_s))
+            if len(_NAME_CACHE) < 8192:
+                _NAME_CACHE[raw_name] = cached
+        name_s, a = cached
+        if a:
+            t.data_atom = t.data = a
+        else:
+            t.data_atom, t.data = "", name_s
+        if tt != END_TAG and self.n_attr_returned < len(self.attr):
+            attrs = []
+            append = attrs.append
+            for ks, ke, vs, ve in self.attr[self.n_attr_returned:]:
+                raw_key = buf[ks:ke]
+                key_s = _KEY_CACHE.get(raw_key)
+                if key_s is None:
+                    key_s = b2s(lower_bytes(raw_key))
+                    if len(_KEY_CACHE) < 8192:
+                        _KEY_CACHE[raw_key] = key_s
+                val = buf[vs:ve]
+                if (b"&" in val) or (b"\r" in val):
+                    val = unescape(convert_new_lines(val), True)
+                append(Attribute("", key_s, b2s(val)))
+            self.n_attr_returned = len(self.attr)
+            t.attr = attrs
+        else:
+            t.attr = []
+        self.data_start = self.pos
+        self.data_end = self.pos
 
     def token(self) -> Token:
         """Materialize the current token (token.cr:1018-1040).
