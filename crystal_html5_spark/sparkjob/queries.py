@@ -248,58 +248,50 @@ def _mh_perm_consts() -> list[tuple[int, int]]:
             for _ in range(_MH_PERMS)]
 
 
-_WORDS_CTE_SPARK = """
-words AS (
-  SELECT doc_id, pos, w
-  FROM documents
-  LATERAL VIEW posexplode(regexp_extract_all(text, '\\\\S+', 0)) t AS pos, w
-)"""
+def _mh_core_ctes(dialect: str) -> str:
+    """toks/sh/hq/sigs CTEs, entirely in array functions: tokenize, build
+    3-shingles by index, md5 once per shingle, decode the 8-hex prefix to
+    a BIGINT, take 64 permutation minima per document.
 
-_WORDS_CTE_DUCK = r"""
-words AS (
-  SELECT doc_id,
-         generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos,
-         unnest(regexp_extract_all(text, '\S+')) AS w
-  FROM documents
-)"""
-
-_SHINGLES_CTE = """
-shingles AS (
-  SELECT doc_id,
-         concat_ws(' ', w,
-           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
-         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
-  FROM words
-)"""
-
-
-def _hex8_to_int_sql(col: str) -> str:
-    """First 8 hex digits of md5(col) as a BIGINT, in portable SQL."""
-    terms = [
-        f"(CAST(instr('0123456789abcdef',"
-        f" substr(md5({col}), {i + 1}, 1)) AS BIGINT) - 1)"
-        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+    Scale shape: NO explode, NO window, NO shuffle — every document's
+    signature is computed map-side in whole-stage codegen; the only
+    exchanges left in the minhash family are the band GROUP BY and the
+    final ORDER BY."""
+    if dialect == "spark":
+        toks_arr = "regexp_extract_all(text, '\\\\S+', 0)"
+        shingles = ("transform(sequence(0, size(ws) - 3), i -> "
+                    "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")
+        guard = "size(ws) >= 3"
+        tmap, amin = "transform", "array_min"
+    else:
+        toks_arr = r"regexp_extract_all(text, '\S+')"
+        # DuckDB lists are 1-based; range(a, b) is [a, b)
+        shingles = ("list_transform(range(1, len(ws) - 1), i -> "
+                    "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")
+        guard = "len(ws) >= 3"
+        tmap, amin = "list_transform", "list_min"
+    digits = " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr(m, {i + 1}, 1))"
+        f" AS BIGINT) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
         for i in range(8)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
-def _mh_sigs_cte() -> str:
-    """hashed + sigs CTEs: one md5 per shingle, 64 MIN aggregates."""
+    )
     mins = ",\n         ".join(
-        f"MIN(({a} * h + {b}) % {_MH_PRIME}) AS m{k + 1}"
+        f"{amin}({tmap}(hq, h -> ({a} * h + {b}) % {_MH_PRIME})) AS m{k + 1}"
         for k, (a, b) in enumerate(_mh_perm_consts())
     )
     return f"""
-hashed AS (
-  SELECT doc_id, {_hex8_to_int_sql('s')} % {_MH_PRIME} AS h
-  FROM shingles WHERE w3 IS NOT NULL
+toks AS (SELECT doc_id, {toks_arr} AS ws FROM documents),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM toks WHERE {guard}),
+hq AS (
+  SELECT doc_id, shingles,
+         {tmap}({tmap}(shingles, s -> md5(s)),
+                m -> (({digits}) % {_MH_PRIME})) AS hq
+  FROM sh
 ),
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM hashed GROUP BY doc_id
+  FROM hq
 )"""
 
 
@@ -329,8 +321,7 @@ bands AS (
 
 
 def _mh_prefix(dialect: str, with_bands: bool) -> str:
-    words = _WORDS_CTE_SPARK if dialect == "spark" else _WORDS_CTE_DUCK
-    out = f"WITH {words}, {_SHINGLES_CTE}, {_mh_sigs_cte()}"
+    out = f"WITH {_mh_core_ctes(dialect)}"
     if with_bands:
         out += f", {_mh_bands_cte(dialect)}"
     return out
@@ -432,29 +423,24 @@ pairs AS (
 
 def _docs_jaccard_verify_sql(dialect: str) -> str:
     if dialect == "spark":
-        sh = """
-sh AS (
-  SELECT doc_id, collect_set(s) AS sset
-  FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
-)"""
-        inter = "size(array_intersect(a.sset, b.sset))"
-        card = "size({0}.sset)"
+        sset = """
+sset AS (SELECT doc_id, array_distinct(shingles) AS ss FROM sh)"""
+        inter = "size(array_intersect(a.ss, b.ss))"
+        card = "size({0}.ss)"
     else:
-        sh = """
-sh AS (
-  SELECT doc_id, list(DISTINCT s) AS sset
-  FROM shingles WHERE w3 IS NOT NULL GROUP BY doc_id
-)"""
-        inter = "len(list_intersect(a.sset, b.sset))"
-        card = "len({0}.sset)"
+        sset = """
+sset AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)"""
+        inter = "len(list_intersect(a.ss, b.ss))"
+        card = "len({0}.ss)"
     na, nb = card.format("a"), card.format("b")
-    return f"""{_mh_prefix(dialect, with_bands=True)}, {_JACCARD_PAIRS_CTE}, {sh}
+    return f"""{_mh_prefix(dialect, with_bands=True)},
+{_JACCARD_PAIRS_CTE}, {sset}
 SELECT doc_a, doc_b,
        {inter} AS n_common,
        {na} AS n_a, {nb} AS n_b,
        CAST(FLOOR(1000.0 * {inter} / ({na} + {nb} - {inter}))
             AS BIGINT) AS jaccard_millis
-FROM pairs JOIN sh a ON doc_a = a.doc_id JOIN sh b ON doc_b = b.doc_id
+FROM pairs JOIN sset a ON doc_a = a.doc_id JOIN sset b ON doc_b = b.doc_id
 ORDER BY doc_a, doc_b
 """
 
