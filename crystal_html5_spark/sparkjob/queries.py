@@ -493,6 +493,68 @@ ORDER BY rank
 """
 
 
+# BPE-ish token counting: letter runs / digit runs / punctuation runs /
+# whitespace runs — the GPT-2 pre-tokenizer shape reduced to a regex
+# portable across Java regex (Spark) and RE2 (DuckDB): no lookahead, no
+# unicode property classes.
+_DOCS_BPE_TOKENS = r"""
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+| +', 0)) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)
+           AS n_word_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+_DOCS_BPE_TOKENS_DUCK = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+| +')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+           AS n_word_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# Winnowing fingerprint (Schleimer et al. 2003): k-gram hashes -> minimum
+# per sliding window of w -> the distinct set of window minima is the
+# document fingerprint.  Entirely array expressions over the same exact
+# integer hashes as minhash — shuffle-free at scale.
+_WINNOW_W = 4
+
+
+def _docs_winnow_sql(dialect: str) -> str:
+    if dialect == "spark":
+        win = (f"transform(sequence(1, size(hq) - {_WINNOW_W - 1}), "
+               f"i -> array_min(slice(hq, i, {_WINNOW_W})))")
+        guard = f"size(hq) >= {_WINNOW_W}"
+        distinct, amin, amax, asize = (
+            "array_distinct", "array_min", "array_max", "size")
+    else:
+        win = (f"list_transform(range(1, len(hq) - {_WINNOW_W - 2}), "
+               f"i -> list_min(hq[i:i + {_WINNOW_W - 1}]))")
+        guard = f"len(hq) >= {_WINNOW_W}"
+        distinct, amin, amax, asize = (
+            "list_distinct", "list_min", "list_max", "len")
+    # sigs is an unused CTE here; both optimizers prune it.
+    return f"""{_mh_prefix(dialect, with_bands=False)}
+, winnowed AS (
+  SELECT doc_id, {distinct}({win}) AS fps
+  FROM hq WHERE {guard}
+)
+SELECT doc_id,
+       CAST({asize}(fps) AS BIGINT) AS n_fingerprints,
+       CAST({amin}(fps) AS BIGINT) AS fp_min,
+       CAST({amax}(fps) AS BIGINT) AS fp_max
+FROM winnowed
+ORDER BY doc_id
+"""
+
+
 # --- LSH (sign projection) with an exact SQL oracle ----------------------
 # Hyperplanes are Rademacher (+/-1) entries from a seeded PRNG, shared as a
 # Python constant (Spark fast path) and a VALUES literal (DuckDB oracle).
@@ -596,15 +658,71 @@ def _lsh_bucketize_arrow(iterator):
 
 _BUCKETIZE_SCHEMA = "vec_id bigint, bucket bigint, embedding array<float>"
 
-# Same built-in (JVM, codegen) cosine as _ANN_TOPK_SPARK.
-_COSINE_EXPR = """
-aggregate(zip_with(embedding, qe,
-                   (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          CAST(0.0 AS DOUBLE), (a, x) -> a + x)
-/ (sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
-                  (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
-   * sqrt(aggregate(qe, CAST(0.0 AS DOUBLE),
-                  (a, x) -> a + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+def _cosine_sql(x: str, y: str) -> str:
+    """Built-in (JVM, codegen) cosine between two array<float> columns."""
+    return f"""
+aggregate(zip_with({x}, {y},
+                   (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (acc, u) -> acc + u)
+/ (sqrt(aggregate({x}, CAST(0.0 AS DOUBLE),
+                  (acc, u) -> acc + CAST(u AS DOUBLE)*CAST(u AS DOUBLE)))
+   * sqrt(aggregate({y}, CAST(0.0 AS DOUBLE),
+                  (acc, u) -> acc + CAST(u AS DOUBLE)*CAST(u AS DOUBLE))))
+"""
+
+
+_COSINE_EXPR = _cosine_sql("embedding", "qe")
+
+
+_EMB_NEAR_DUP_K = 20
+
+
+def _emb_near_dup_pairs(spark, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates at scale: LSH-bucket every
+    vector (exact-integer planes, per-partition Arrow pass), self-join
+    ONLY within buckets (never all-pairs), score candidates with the
+    JVM cosine, and keep the top-k most-similar pairs via
+    TakeOrderedAndProject.  Fully oracle-checked (integer outputs)."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    b = emb.mapInArrow(_lsh_bucketize_arrow, _BUCKETIZE_SCHEMA)
+    b.createOrReplaceTempView("_emb_buckets")
+    top = spark.sql(f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM _emb_buckets a JOIN _emb_buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ORDER BY cosine DESC, vec_a, vec_b
+        LIMIT {_EMB_NEAR_DUP_K}
+    """)
+    w = Window.orderBy(F.desc("cosine"), "vec_a", "vec_b")
+    return (
+        top.select("vec_a", "vec_b", F.row_number().over(w).alias("rank"))
+        .orderBy("rank")
+    )
+
+
+def _emb_near_dup_pairs_oracle() -> str:
+    cte = _LSH_BUCKETS_CTE_DUCK.format(planes=_lsh_planes_values_sql())
+    return f"""
+WITH {cte},
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(ea.embedding, eb.embedding) AS cosine
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+top AS (
+  SELECT vec_a, vec_b, cosine FROM cand
+  ORDER BY cosine DESC, vec_a, vec_b LIMIT {_EMB_NEAR_DUP_K}
+)
+SELECT vec_a, vec_b,
+       ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rank
+FROM top ORDER BY rank
 """
 
 
@@ -897,10 +1015,13 @@ QUERIES: dict = {
     "docs_simhash": _sql(_DOCS_SIMHASH_SPARK),
     "docs_near_dup_pairs": _sql(_DOCS_NEAR_DUP_PAIRS_SPARK),
     "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
+    "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
+    "docs_winnow_fp": _sql(_docs_winnow_sql("spark")),
     # similarity search over embeddings
     "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
     "ann_lsh_buckets": _ann_lsh_buckets,
     "ann_lsh_topk": _ann_lsh_topk,
+    "emb_near_dup_pairs": _emb_near_dup_pairs,
     # multimodal: binary media column -> Pandas-UDF feature extraction
     "media_features": _media_features,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
@@ -933,9 +1054,12 @@ ORACLES: dict = {
     "docs_simhash": _DOCS_SIMHASH_DUCK,
     "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
+    "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
+    "docs_winnow_fp": _docs_winnow_sql("duck"),
     "ann_cosine_topk": _ANN_TOPK_DUCK,
     "ann_lsh_buckets": _ann_lsh_buckets_oracle(),
     "ann_lsh_topk": _ann_lsh_topk_oracle(),
+    "emb_near_dup_pairs": _emb_near_dup_pairs_oracle(),
     # The parser is not SQL-expressible, but its expected output IS
     # checkable: these parquets were produced by the golden-verified
     # in-process engine (scripts/freeze_expected.py), so the driver's
