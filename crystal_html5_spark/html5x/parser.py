@@ -1013,268 +1013,23 @@ class Parser:
             self.add_text(d)
             if self.frameset_ok and d.lstrip(WHITE_SPACE) != "":
                 self.frameset_ok = False
-        elif tt == tk.START_TAG:
-            a = t.data_atom
-            if a == "html":
-                if _contains(self.oe, "template"):
-                    return True
-                copy_attributes(self.oe[0], t)
-            elif a in _IB_HEAD_GROUP:
-                return self.in_head_im()
-            elif a == "body":
-                if _contains(self.oe, "template"):
-                    return True
-                if len(self.oe) >= 2:
-                    body = self.oe[1]
-                    if body.type == ELEMENT_NODE and body.data_atom == "body":
-                        self.frameset_ok = False
-                        copy_attributes(body, t)
-            elif a == "frameset":
-                if (
-                    not self.frameset_ok
-                    or len(self.oe) < 2
-                    or self.oe[1].data_atom != "body"
-                ):
-                    return True
-                body = self.oe[1]
-                if body.parent is not None:
-                    body.parent.remove_child(body)
-                del self.oe[1:]
+            return True
+        if tt == tk.START_TAG:
+            # dict dispatch on the atom (one hash lookup instead of the
+            # elif chain); unknown names ("" atom) take the default.
+            h = _IB_START_HANDLERS.get(t.data_atom)
+            if h is None:
+                self.reconstruct_active_formatting_elements()
                 self.add_element()
-                self.im = self.in_frameset_im
                 return True
-            elif a in _IB_BLOCK:
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-            elif a in _H1_H6:
-                self.pop_until(BUTTON_SCOPE, "p")
-                n = self.top()
-                if n.data_atom in _H1_H6:
-                    self.oe.pop()
-                self.add_element()
-            elif a in ("pre", "listing"):
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-                # The newline, if any, is dealt with by the TextToken case.
-                self.frameset_ok = False
-            elif a == "form":
-                if self.form is not None and not _contains(self.oe,
-                                                           "template"):
-                    return True
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-                if not _contains(self.oe, "template"):
-                    self.form = self.top()
-            elif a == "li":
-                self.frameset_ok = False
-                oe = self.oe
-                for i in range(len(oe) - 1, -1, -1):
-                    node = oe[i]
-                    na = node.data_atom
-                    if na == "li":
-                        del oe[i:]
-                    elif na in ("address", "div", "p"):
-                        continue
-                    elif not special_element(node):
-                        continue
-                    break
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-            elif a in ("dd", "dt"):
-                self.frameset_ok = False
-                oe = self.oe
-                for i in range(len(oe) - 1, -1, -1):
-                    node = oe[i]
-                    na = node.data_atom
-                    if na in ("dd", "dt"):
-                        del oe[i:]
-                    elif na in ("address", "div", "p"):
-                        continue
-                    elif not special_element(node):
-                        continue
-                    break
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-            elif a == "plaintext":
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-            elif a == "button":
-                self.pop_until(DEFAULT_SCOPE, "button")
-                self.reconstruct_active_formatting_elements()
-                self.add_element()
-                self.frameset_ok = False
-            elif a == "a":
-                afe = self.afe
-                i = len(afe) - 1
-                while i >= 0 and afe[i].type != SCOPE_MARKER_NODE:
-                    n = afe[i]
-                    if n.type == ELEMENT_NODE and n.data_atom == "a":
-                        self.in_body_end_tag_formatting("a", "a")
-                        _remove(self.oe, n)
-                        _remove(self.afe, n)
-                        break
-                    i -= 1
-                self.reconstruct_active_formatting_elements()
-                self.add_formatting_element()
-            elif a in _IB_FORMATTING:
-                self.reconstruct_active_formatting_elements()
-                self.add_formatting_element()
-            elif a == "nobr":
-                self.reconstruct_active_formatting_elements()
-                if self.element_in_scope(DEFAULT_SCOPE, "nobr"):
-                    self.in_body_end_tag_formatting("nobr", "nobr")
-                    self.reconstruct_active_formatting_elements()
-                self.add_formatting_element()
-            elif a in ("applet", "marquee", "object"):
-                self.reconstruct_active_formatting_elements()
-                self.add_element()
-                self.afe.append(SCOPE_MARKER)
-                self.frameset_ok = False
-            elif a == "table":
-                if not self.quirks:
-                    self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-                self.frameset_ok = False
-                self.im = self.in_table_im
+            return h(self)
+        if tt == tk.END_TAG:
+            h = _IB_END_HANDLERS.get(t.data_atom)
+            if h is None:
+                self.in_body_end_tag_other(t.data_atom, t.data)
                 return True
-            elif a in _IB_VOID:
-                self.reconstruct_active_formatting_elements()
-                self.add_element()
-                self.oe.pop()
-                self.acknowledge_self_closing_tag()
-                if a == "input":
-                    for attr in t.attr:
-                        if attr.key == "type" and attr.val.lower() == "hidden":
-                            # Skip setting frameset_ok = false.
-                            return True
-                self.frameset_ok = False
-            elif a in ("param", "source", "track"):
-                self.add_element()
-                self.oe.pop()
-                self.acknowledge_self_closing_tag()
-            elif a == "hr":
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.add_element()
-                self.oe.pop()
-                self.acknowledge_self_closing_tag()
-                self.frameset_ok = False
-            elif a == "image":
-                t.data_atom = "img"
-                t.data = "img"
-                return False
-            elif a == "textarea":
-                self.add_element()
-                self.set_original_im()
-                self.frameset_ok = False
-                self.im = self.text_im
-            elif a == "xmp":
-                self.pop_until(BUTTON_SCOPE, "p")
-                self.reconstruct_active_formatting_elements()
-                self.frameset_ok = False
-                self.parse_generic_raw_text_elements()
-            elif a == "iframe":
-                self.frameset_ok = False
-                self.parse_generic_raw_text_elements()
-            elif a == "noscript":
-                if self.scripting:
-                    self.parse_generic_raw_text_elements()
-                    return True
-                self.reconstruct_active_formatting_elements()
-                self.add_element()
-                # Don't let the tokenizer go into raw text mode when
-                # scripting is disabled.
-                self.tokenizer.raw_tag = ""
-            elif a == "select":
-                self.reconstruct_active_formatting_elements()
-                self.add_element()
-                self.frameset_ok = False
-                self.im = self.in_select_im
-                return True
-            elif a in ("optgroup", "option"):
-                if self.top().data_atom == "option":
-                    self.oe.pop()
-                self.reconstruct_active_formatting_elements()
-                self.add_element()
-            elif a in ("rb", "rtc"):
-                if self.element_in_scope(DEFAULT_SCOPE, "ruby"):
-                    self.generate_implied_end_tags()
-                self.add_element()
-            elif a in ("rp", "rt"):
-                if self.element_in_scope(DEFAULT_SCOPE, "ruby"):
-                    self.generate_implied_end_tags("rtc")
-                self.add_element()
-            elif a in ("math", "svg"):
-                self.reconstruct_active_formatting_elements()
-                if a == "math":
-                    adjust_attribute_names(t.attr,
-                                           MATHML_ATTRIBUTE_ADJUSTMENTS)
-                else:
-                    adjust_attribute_names(t.attr, SVG_ATTRIBUTE_ADJUSTMENTS)
-                adjust_foreign_attributes(t.attr)
-                self.add_element()
-                self.top().namespace = t.data
-                if self.has_self_closing_token:
-                    self.oe.pop()
-                    self.acknowledge_self_closing_tag()
-                return True
-            elif a in _IB_IGNORE:
-                pass  # ignore the token
-            else:
-                self.reconstruct_active_formatting_elements()
-                self.add_element()
-        elif tt == tk.END_TAG:
-            a = t.data_atom
-            if a == "body":
-                if self.element_in_scope(DEFAULT_SCOPE, "body"):
-                    self.im = self.after_body_im
-            elif a == "html":
-                if self.element_in_scope(DEFAULT_SCOPE, "body"):
-                    self.parse_implied_token(tk.END_TAG, "body", "body")
-                    return False
-                return True
-            elif a in _IB_END_BLOCK:
-                self.pop_until(DEFAULT_SCOPE, a)
-            elif a == "form":
-                if _contains(self.oe, "template"):
-                    i = self.index_of_element_in_scope(DEFAULT_SCOPE, "form")
-                    if i == -1:
-                        return True
-                    self.generate_implied_end_tags()
-                    if self.oe[i].data_atom != "form":
-                        return True
-                    self.pop_until(DEFAULT_SCOPE, "form")
-                else:
-                    node = self.form
-                    self.form = None
-                    i = self.index_of_element_in_scope(DEFAULT_SCOPE, "form")
-                    if node is None or i == -1 or self.oe[i] is not node:
-                        return True
-                    self.generate_implied_end_tags()
-                    _remove(self.oe, node)
-            elif a == "p":
-                if not self.element_in_scope(BUTTON_SCOPE, "p"):
-                    self.parse_implied_token(tk.START_TAG, "p", "p")
-                self.pop_until(BUTTON_SCOPE, "p")
-            elif a == "li":
-                self.pop_until(LIST_ITEM_SCOPE, "li")
-            elif a in ("dd", "dt"):
-                self.pop_until(DEFAULT_SCOPE, a)
-            elif a in ("h1", "h2", "h3", "h4", "h5", "h6"):
-                self.pop_until(DEFAULT_SCOPE, "h1", "h2", "h3", "h4", "h5",
-                               "h6")
-            elif a in _IB_END_FORMATTING:
-                self.in_body_end_tag_formatting(a, t.data)
-            elif a in ("applet", "marquee", "object"):
-                if self.pop_until(DEFAULT_SCOPE, a):
-                    self.clear_active_formatting_elements()
-            elif a == "br":
-                t.type = tk.START_TAG
-                return False
-            elif a == "template":
-                return self.in_head_im()
-            else:
-                self.in_body_end_tag_other(a, t.data)
-        elif tt == tk.COMMENT:
+            return h(self)
+        if tt == tk.COMMENT:
             self.add_child(Node(type=COMMENT_NODE, data=t.data))
         elif tt == tk.ERROR:
             # Reference divergence (insertion_mode.cr:629-643).
@@ -1965,3 +1720,431 @@ def parse_fragment(data: bytes | str, context: Node | None = None,
         result.append(c)
         c = nxt
     return result
+
+
+# --------------------------------------------------------------------------
+# in_body_im dispatch handlers (round-2 throughput: dict-dispatch keyed on
+# the interned atom replaces the long elif chain; each handler is the
+# exact body of the branch it came from).
+
+def _ibs_html(p) -> bool:
+    if _contains(p.oe, "template"):
+        return True
+    copy_attributes(p.oe[0], p.token)
+    return True
+
+
+def _ibs_head_group(p) -> bool:
+    return p.in_head_im()
+
+
+def _ibs_body(p) -> bool:
+    if _contains(p.oe, "template"):
+        return True
+    if len(p.oe) >= 2:
+        body = p.oe[1]
+        if body.type == ELEMENT_NODE and body.data_atom == "body":
+            p.frameset_ok = False
+            copy_attributes(body, p.token)
+    return True
+
+
+def _ibs_frameset(p) -> bool:
+    if (
+        not p.frameset_ok
+        or len(p.oe) < 2
+        or p.oe[1].data_atom != "body"
+    ):
+        return True
+    body = p.oe[1]
+    if body.parent is not None:
+        body.parent.remove_child(body)
+    del p.oe[1:]
+    p.add_element()
+    p.im = p.in_frameset_im
+    return True
+
+
+def _ibs_block(p) -> bool:
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    return True
+
+
+def _ibs_heading(p) -> bool:
+    p.pop_until(BUTTON_SCOPE, "p")
+    n = p.top()
+    if n.data_atom in _H1_H6:
+        p.oe.pop()
+    p.add_element()
+    return True
+
+
+def _ibs_pre_listing(p) -> bool:
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    # The newline, if any, is dealt with by the TextToken case.
+    p.frameset_ok = False
+    return True
+
+
+def _ibs_form(p) -> bool:
+    if p.form is not None and not _contains(p.oe, "template"):
+        return True
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    if not _contains(p.oe, "template"):
+        p.form = p.top()
+    return True
+
+
+def _ibs_li(p) -> bool:
+    p.frameset_ok = False
+    oe = p.oe
+    for i in range(len(oe) - 1, -1, -1):
+        node = oe[i]
+        na = node.data_atom
+        if na == "li":
+            del oe[i:]
+        elif na in ("address", "div", "p"):
+            continue
+        elif not special_element(node):
+            continue
+        break
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    return True
+
+
+def _ibs_dd_dt(p) -> bool:
+    p.frameset_ok = False
+    oe = p.oe
+    for i in range(len(oe) - 1, -1, -1):
+        node = oe[i]
+        na = node.data_atom
+        if na in ("dd", "dt"):
+            del oe[i:]
+        elif na in ("address", "div", "p"):
+            continue
+        elif not special_element(node):
+            continue
+        break
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    return True
+
+
+def _ibs_plaintext(p) -> bool:
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    return True
+
+
+def _ibs_button(p) -> bool:
+    p.pop_until(DEFAULT_SCOPE, "button")
+    p.reconstruct_active_formatting_elements()
+    p.add_element()
+    p.frameset_ok = False
+    return True
+
+
+def _ibs_a(p) -> bool:
+    afe = p.afe
+    i = len(afe) - 1
+    while i >= 0 and afe[i].type != SCOPE_MARKER_NODE:
+        n = afe[i]
+        if n.type == ELEMENT_NODE and n.data_atom == "a":
+            p.in_body_end_tag_formatting("a", "a")
+            _remove(p.oe, n)
+            _remove(p.afe, n)
+            break
+        i -= 1
+    p.reconstruct_active_formatting_elements()
+    p.add_formatting_element()
+    return True
+
+
+def _ibs_formatting(p) -> bool:
+    p.reconstruct_active_formatting_elements()
+    p.add_formatting_element()
+    return True
+
+
+def _ibs_nobr(p) -> bool:
+    p.reconstruct_active_formatting_elements()
+    if p.element_in_scope(DEFAULT_SCOPE, "nobr"):
+        p.in_body_end_tag_formatting("nobr", "nobr")
+        p.reconstruct_active_formatting_elements()
+    p.add_formatting_element()
+    return True
+
+
+def _ibs_applet(p) -> bool:
+    p.reconstruct_active_formatting_elements()
+    p.add_element()
+    p.afe.append(SCOPE_MARKER)
+    p.frameset_ok = False
+    return True
+
+
+def _ibs_table(p) -> bool:
+    if not p.quirks:
+        p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    p.frameset_ok = False
+    p.im = p.in_table_im
+    return True
+
+
+def _ibs_void(p) -> bool:
+    p.reconstruct_active_formatting_elements()
+    p.add_element()
+    p.oe.pop()
+    p.acknowledge_self_closing_tag()
+    if p.token.data_atom == "input":
+        for attr in p.token.attr:
+            if attr.key == "type" and attr.val.lower() == "hidden":
+                # Skip setting frameset_ok = false.
+                return True
+    p.frameset_ok = False
+    return True
+
+
+def _ibs_param(p) -> bool:
+    p.add_element()
+    p.oe.pop()
+    p.acknowledge_self_closing_tag()
+    return True
+
+
+def _ibs_hr(p) -> bool:
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.add_element()
+    p.oe.pop()
+    p.acknowledge_self_closing_tag()
+    p.frameset_ok = False
+    return True
+
+
+def _ibs_image(p) -> bool:
+    p.token.data_atom = "img"
+    p.token.data = "img"
+    return False
+
+
+def _ibs_textarea(p) -> bool:
+    p.add_element()
+    p.set_original_im()
+    p.frameset_ok = False
+    p.im = p.text_im
+    return True
+
+
+def _ibs_xmp(p) -> bool:
+    p.pop_until(BUTTON_SCOPE, "p")
+    p.reconstruct_active_formatting_elements()
+    p.frameset_ok = False
+    p.parse_generic_raw_text_elements()
+    return True
+
+
+def _ibs_iframe(p) -> bool:
+    p.frameset_ok = False
+    p.parse_generic_raw_text_elements()
+    return True
+
+
+def _ibs_noscript(p) -> bool:
+    if p.scripting:
+        p.parse_generic_raw_text_elements()
+        return True
+    p.reconstruct_active_formatting_elements()
+    p.add_element()
+    # Don't let the tokenizer go into raw text mode when scripting is
+    # disabled.
+    p.tokenizer.raw_tag = ""
+    return True
+
+
+def _ibs_select(p) -> bool:
+    p.reconstruct_active_formatting_elements()
+    p.add_element()
+    p.frameset_ok = False
+    p.im = p.in_select_im
+    return True
+
+
+def _ibs_option(p) -> bool:
+    if p.top().data_atom == "option":
+        p.oe.pop()
+    p.reconstruct_active_formatting_elements()
+    p.add_element()
+    return True
+
+
+def _ibs_rb_rtc(p) -> bool:
+    if p.element_in_scope(DEFAULT_SCOPE, "ruby"):
+        p.generate_implied_end_tags()
+    p.add_element()
+    return True
+
+
+def _ibs_rp_rt(p) -> bool:
+    if p.element_in_scope(DEFAULT_SCOPE, "ruby"):
+        p.generate_implied_end_tags("rtc")
+    p.add_element()
+    return True
+
+
+def _ibs_math_svg(p) -> bool:
+    t = p.token
+    p.reconstruct_active_formatting_elements()
+    if t.data_atom == "math":
+        adjust_attribute_names(t.attr, MATHML_ATTRIBUTE_ADJUSTMENTS)
+    else:
+        adjust_attribute_names(t.attr, SVG_ATTRIBUTE_ADJUSTMENTS)
+    adjust_foreign_attributes(t.attr)
+    p.add_element()
+    p.top().namespace = t.data
+    if p.has_self_closing_token:
+        p.oe.pop()
+        p.acknowledge_self_closing_tag()
+    return True
+
+
+def _ibs_ignore(p) -> bool:
+    return True  # ignore the token
+
+
+def _ibe_body(p) -> bool:
+    if p.element_in_scope(DEFAULT_SCOPE, "body"):
+        p.im = p.after_body_im
+    return True
+
+
+def _ibe_html(p) -> bool:
+    if p.element_in_scope(DEFAULT_SCOPE, "body"):
+        p.parse_implied_token(tk.END_TAG, "body", "body")
+        return False
+    return True
+
+
+def _ibe_block(p) -> bool:
+    p.pop_until(DEFAULT_SCOPE, p.token.data_atom)
+    return True
+
+
+def _ibe_form(p) -> bool:
+    if _contains(p.oe, "template"):
+        i = p.index_of_element_in_scope(DEFAULT_SCOPE, "form")
+        if i == -1:
+            return True
+        p.generate_implied_end_tags()
+        if p.oe[i].data_atom != "form":
+            return True
+        p.pop_until(DEFAULT_SCOPE, "form")
+    else:
+        node = p.form
+        p.form = None
+        i = p.index_of_element_in_scope(DEFAULT_SCOPE, "form")
+        if node is None or i == -1 or p.oe[i] is not node:
+            return True
+        p.generate_implied_end_tags()
+        _remove(p.oe, node)
+    return True
+
+
+def _ibe_p(p) -> bool:
+    if not p.element_in_scope(BUTTON_SCOPE, "p"):
+        p.parse_implied_token(tk.START_TAG, "p", "p")
+    p.pop_until(BUTTON_SCOPE, "p")
+    return True
+
+
+def _ibe_li(p) -> bool:
+    p.pop_until(LIST_ITEM_SCOPE, "li")
+    return True
+
+
+def _ibe_dd_dt(p) -> bool:
+    p.pop_until(DEFAULT_SCOPE, p.token.data_atom)
+    return True
+
+
+def _ibe_heading(p) -> bool:
+    p.pop_until(DEFAULT_SCOPE, "h1", "h2", "h3", "h4", "h5", "h6")
+    return True
+
+
+def _ibe_formatting(p) -> bool:
+    p.in_body_end_tag_formatting(p.token.data_atom, p.token.data)
+    return True
+
+
+def _ibe_applet(p) -> bool:
+    if p.pop_until(DEFAULT_SCOPE, p.token.data_atom):
+        p.clear_active_formatting_elements()
+    return True
+
+
+def _ibe_br(p) -> bool:
+    p.token.type = tk.START_TAG
+    return False
+
+
+def _ibe_template(p) -> bool:
+    return p.in_head_im()
+
+
+_IB_START_HANDLERS: dict = {"html": _ibs_html, "body": _ibs_body,
+                            "frameset": _ibs_frameset, "form": _ibs_form,
+                            "li": _ibs_li, "plaintext": _ibs_plaintext,
+                            "button": _ibs_button, "a": _ibs_a,
+                            "nobr": _ibs_nobr, "table": _ibs_table,
+                            "hr": _ibs_hr, "image": _ibs_image,
+                            "textarea": _ibs_textarea, "xmp": _ibs_xmp,
+                            "iframe": _ibs_iframe, "noscript": _ibs_noscript,
+                            "select": _ibs_select}
+for _a in _IB_HEAD_GROUP:
+    _IB_START_HANDLERS[_a] = _ibs_head_group
+for _a in _IB_BLOCK:
+    _IB_START_HANDLERS[_a] = _ibs_block
+for _a in _H1_H6:
+    _IB_START_HANDLERS[_a] = _ibs_heading
+for _a in ("pre", "listing"):
+    _IB_START_HANDLERS[_a] = _ibs_pre_listing
+for _a in ("dd", "dt"):
+    _IB_START_HANDLERS[_a] = _ibs_dd_dt
+for _a in _IB_FORMATTING:
+    _IB_START_HANDLERS[_a] = _ibs_formatting
+for _a in ("applet", "marquee", "object"):
+    _IB_START_HANDLERS[_a] = _ibs_applet
+for _a in _IB_VOID:
+    _IB_START_HANDLERS[_a] = _ibs_void
+for _a in ("param", "source", "track"):
+    _IB_START_HANDLERS[_a] = _ibs_param
+for _a in ("optgroup", "option"):
+    _IB_START_HANDLERS[_a] = _ibs_option
+for _a in ("rb", "rtc"):
+    _IB_START_HANDLERS[_a] = _ibs_rb_rtc
+for _a in ("rp", "rt"):
+    _IB_START_HANDLERS[_a] = _ibs_rp_rt
+for _a in ("math", "svg"):
+    _IB_START_HANDLERS[_a] = _ibs_math_svg
+for _a in _IB_IGNORE:
+    _IB_START_HANDLERS[_a] = _ibs_ignore
+
+_IB_END_HANDLERS: dict = {"body": _ibe_body, "html": _ibe_html,
+                          "form": _ibe_form, "p": _ibe_p, "li": _ibe_li,
+                          "br": _ibe_br, "template": _ibe_template}
+for _a in _IB_END_BLOCK:
+    _IB_END_HANDLERS[_a] = _ibe_block
+for _a in ("dd", "dt"):
+    _IB_END_HANDLERS[_a] = _ibe_dd_dt
+for _a in _H1_H6:
+    _IB_END_HANDLERS[_a] = _ibe_heading
+for _a in _IB_END_FORMATTING:
+    _IB_END_HANDLERS[_a] = _ibe_formatting
+for _a in ("applet", "marquee", "object"):
+    _IB_END_HANDLERS[_a] = _ibe_applet
+del _a

@@ -649,10 +649,11 @@ class Tokenizer:
                 a_start, a_end = m.span(2)
                 if a_start < a_end:
                     for am in _RE_SIMPLE_ATTR.finditer(buf, a_start, a_end):
-                        ks, ke = am.span(1)
-                        vs, ve = am.span(2)
+                        regs = am.regs
+                        ks, ke = regs[1]
+                        vs, ve = regs[2]
                         if vs == -1:
-                            vs, ve = am.span(3)
+                            vs, ve = regs[3]
                             if vs == -1:
                                 vs = ve = ke  # valueless: empty span
                         append((ks, ke, vs, ve))
@@ -1041,14 +1042,15 @@ class Tokenizer:
             s = self.buf[self.data_start:self.data_end]
             self.data_start = self.pos
             self.data_end = self.pos
-            s = convert_new_lines(s)
+            if b"\r" in s:
+                s = convert_new_lines(s)
             if (self.convert_nul or self.tt == COMMENT) and b"\x00" in s:
                 s = (
                     s.decode("utf-8", "replace")
                     .replace("\x00", "�")
                     .encode("utf-8")
                 )
-            if not self.text_is_raw:
+            if not self.text_is_raw and b"&" in s:
                 s = unescape(s, False)
             return s
         return None
