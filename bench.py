@@ -82,6 +82,10 @@ def main() -> None:
           lambda: Q.QUERIES["docs_minhash_bands"](spark, sf_dir).count())
     timed("ann_cosine_topk",
           lambda: Q.QUERIES["ann_cosine_topk"](spark, sf_dir).collect())
+    timed("ann_lsh_topk",
+          lambda: Q.QUERIES["ann_lsh_topk"](spark, sf_dir).collect())
+    timed("docs_winnow_fp",
+          lambda: Q.QUERIES["docs_winnow_fp"](spark, sf_dir).count())
     timed("latest_event_per_user",
           lambda: Q.QUERIES["latest_event_per_user"](spark, sf_dir).count())
 
