@@ -125,6 +125,14 @@ def test_ann_plans_scale_safe(spark):
     assert "TakeOrderedAndProject" in p2
     assert "BroadcastHashJoin" in p2
     assert "Coalesce 1" not in p2
+    p3 = q["ann_ivf_topk"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in p3
+    assert "BroadcastNestedLoopJoin" in p3  # 16-centroid assignment
+    p4 = q["emb_near_dup_pairs"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in p4
+    assert "CartesianProduct" not in p4  # candidates via bucket equi-join
 
 
 def test_entry_smoke(spark):
