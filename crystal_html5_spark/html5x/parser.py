@@ -635,11 +635,30 @@ class Parser:
         tokenizer = self.tokenizer
         oe = self.oe
         reuse = Token()
+        fragment = self.fragment
+        self_closing = tk.SELF_CLOSING_TAG
+        error = tk.ERROR
         while True:
             tokenizer.allow_cdata = bool(oe) and oe[-1].namespace != ""
             t = self.token = tokenizer.next_token(reuse)
-            self.parse_current_token()
-            if t.type == tk.ERROR and tokenizer.eof:
+            # Inline of parse_current_token's fast path: plain-HTML
+            # current node, token consumed on the first dispatch.
+            if t.type == self_closing:
+                self.has_self_closing_token = True
+                t.type = tk.START_TAG
+            if not fragment and (not oe or oe[-1].namespace == "") \
+                    and self.im():
+                self.has_self_closing_token = False
+            else:
+                # reprocessing or foreign content: the full pump
+                consumed = False
+                while not consumed:
+                    if self.in_foreign_content():
+                        consumed = self.parse_foreign_content()
+                    else:
+                        consumed = self.im()
+                self.has_self_closing_token = False
+            if t.type == error and tokenizer.eof:
                 break
             if self.token is not t:
                 # an implied-token pump left a different object installed;
