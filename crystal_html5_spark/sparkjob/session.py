@@ -17,13 +17,16 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Arrow for all Python exchange; batch size tuned for PIPELINING of
-    # the extract UDF: ~512 html rows (~3-4 MB) per batch lets compute
-    # overlap transfer instead of each worker waiting for its whole
-    # partition (measured 2.4s -> 1.6s on the 20k-page pipeline vs the
-    # 10k-row default; per-batch numpy ops stay amply vectorized).
+    # Arrow for all Python exchange.  8192 rows/batch: at 32 workers the
+    # r2-era 512-row "pipelining" setting just multiplied Arrow batch
+    # boundaries (interleaved A/B at local[32], 20k pages: median 1.86 s
+    # and a 1.71-1.99 spread at 8192 vs 2.30 s / 1.75-2.61 at 512 — the
+    # pipelining win did not replicate; larger batches are both faster
+    # and far less noisy).  8192 html rows at ~6.5 KB avg is ~50 MB per
+    # in-flight batch, bounded further by the UDF's byte-capped output
+    # re-batching (extract_job._TARGET_OUT_BATCH_BYTES).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     # Read-side split sizing for the 100 TB case: 128 MB splits.
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Single-JVM local mode: the driver hosts the executors too.
