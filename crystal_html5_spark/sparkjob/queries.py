@@ -870,7 +870,11 @@ def _pages_fixed(spark) -> DataFrame:
 
 
 def _extract_pages(spark, sf_dir: str) -> DataFrame:
-    out = run_extract(spark, _pages(spark, sf_dir))
+    """Extraction through Spark with a frozen independent oracle: pinned
+    to the fixed 500-page fixture (scripts/freeze_expected.py replicates
+    dedup+extract in-process; sf-scaled throughput is extract_pipeline's
+    job in bench.py)."""
+    out = run_extract(spark, _pages_fixed(spark))
     return out.select(
         "url",
         F.sha2(F.col("text"), 256).alias("text_sha256"),
@@ -952,8 +956,10 @@ def _page_titles(spark, sf_dir: str) -> DataFrame:
 def _page_xpath_stats(spark, sf_dir: str) -> DataFrame:
     """Full-XPath-1.0 extraction per page (round-2 surface): the
     real-world query shapes the round-1 subset rejected — contains(),
-    normalize-space(), axes, positional predicates, count()."""
-    pages = _pages(spark, sf_dir).select("url", "html")
+    normalize-space(), axes, positional predicates, count().  Pinned to
+    the fixed 500-page fixture so the frozen in-process-engine parquet
+    (scripts/freeze_expected.py) is its oracle at every sf."""
+    pages = _pages_fixed(spark).select("url", "html")
 
     def stats(iterator):
         import pyarrow as pa
@@ -1140,6 +1146,18 @@ ORACLES: dict = {
         f"{_EXPECTED_DIR / f'page_titles_{_FIXED_PAGES_N}.parquet'}')"
         " ORDER BY url"
     ),
-    # extract_pages, extract_lang_stats, extract_near_dups,
-    # page_xpath_stats, media_features: non-SQL-expressible -> rows-only.
+    "page_xpath_stats": (
+        "SELECT url, title_norm, n_ref_links, first_nav_href,"
+        " n_nonempty_paras FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'page_xpath_stats_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY url"
+    ),
+    "extract_pages": (
+        "SELECT url, text_sha256, n_nodes, main_len, err"
+        " FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY url"
+    ),
+    # extract_lang_stats, extract_near_dups, media_features:
+    # non-SQL-expressible -> rows-only.
 }
