@@ -1015,26 +1015,35 @@ def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
     collides on all four 3-shingle minhash signatures."""
     out = run_extract(spark, _pages(spark, sf_dir))
     out.select("url", "main_text").createOrReplaceTempView("_extracted")
+    # Shingles/signatures entirely in array expressions (the _mh_core_ctes
+    # shape): map-side, zero explode, zero window.  The r2 version's
+    # posexplode + lead() windows shuffled and sorted every TOKEN in the
+    # corpus (~10^13 rows at 100 TB) before the signature GROUP BY; this
+    # form's only exchanges are the fullsig GROUP BY and the final ORDER
+    # BY.  The >=3-token guard filters on the plain regexp at the lowest
+    # level (a WHERE on the derived array column would be substituted
+    # into an interpreted per-row predicate — round-2 lesson).
     return spark.sql("""
-        WITH words AS (
-          SELECT url, pos, w
+        WITH toks AS (
+          SELECT url, regexp_extract_all(main_text, '\\\\S+', 0) AS ws
           FROM _extracted
-          LATERAL VIEW posexplode(
-            regexp_extract_all(main_text, '\\\\S+', 0)) t AS pos, w
-        ), shingles AS (
+          WHERE size(regexp_extract_all(main_text, '\\\\S+', 0)) >= 3
+        ), sh AS (
           SELECT url,
-                 concat_ws(' ', w,
-                   lead(w, 1) OVER (PARTITION BY url ORDER BY pos),
-                   lead(w, 2) OVER (PARTITION BY url ORDER BY pos)) AS s,
-                 lead(w, 2) OVER (PARTITION BY url ORDER BY pos) AS w3
-          FROM words
+                 transform(sequence(0, size(ws) - 3), i ->
+                   concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) AS shingles
+          FROM toks
         ), sigs AS (
           SELECT url,
-                 min(md5(concat(s, '#1'))) AS sig1,
-                 min(md5(concat(s, '#2'))) AS sig2,
-                 min(md5(concat(s, '#3'))) AS sig3,
-                 min(md5(concat(s, '#4'))) AS sig4
-          FROM shingles WHERE w3 IS NOT NULL GROUP BY url
+                 array_min(transform(shingles,
+                   s -> md5(concat(s, '#1')))) AS sig1,
+                 array_min(transform(shingles,
+                   s -> md5(concat(s, '#2')))) AS sig2,
+                 array_min(transform(shingles,
+                   s -> md5(concat(s, '#3')))) AS sig3,
+                 array_min(transform(shingles,
+                   s -> md5(concat(s, '#4')))) AS sig4
+          FROM sh
         )
         SELECT concat(sig1, sig2, sig3, sig4) AS fullsig,
                MIN(url) AS keep_url, COUNT(*) AS n_pages

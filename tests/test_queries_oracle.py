@@ -135,6 +135,17 @@ def test_ann_plans_scale_safe(spark):
     assert "CartesianProduct" not in p4  # candidates via bucket equi-join
 
 
+def test_extract_near_dups_plan_shuffle_free(spark):
+    """Shingling stays on the array-expression path: no per-token
+    explode (Generate) and no Window sort-shuffle before the signature
+    GROUP BY — at 100 TB the r2 posexplode+lead form shuffled every
+    token in the corpus."""
+    plan = entrymod.queries()["extract_near_dups"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Generate" not in plan
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
