@@ -29,6 +29,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from crystal_html5_spark.sparkjob import queries as Q  # noqa: E402
+from crystal_html5_spark.sparkjob import io as tableio  # noqa: E402
 from crystal_html5_spark.sparkjob.extract_job import run_extract  # noqa: E402
 from crystal_html5_spark.sparkjob.pages import (  # noqa: E402
     n_pages_for_sf,
@@ -59,7 +60,7 @@ def main() -> None:
     # parquet scan path with column pruning.
     n_pages = n_pages_for_sf(sf_dir)
     pages_path = pages_parquet(spark, n_pages)
-    pages = spark.read.parquet(pages_path)
+    pages = tableio.read_table(spark, pages_path)
 
     # Warm up the JVM + Python workers on a slice.
     run_extract(spark, pages.limit(512), num_partitions=cpus).agg(

@@ -37,7 +37,8 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
 def setup_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str,
                                    buckets: int = 16) -> None:
     """One-time bucketed materialization of the join pair."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from . import io as tableio
+    orders = tableio.read_table(spark, f"{sf_dir}/orders.parquet")
+    lineitem = tableio.read_table(spark, f"{sf_dir}/lineitem.parquet")
     write_bucketed(spark, orders, "orders_b", "o_orderkey", buckets)
     write_bucketed(spark, lineitem, "lineitem_b", "l_orderkey", buckets)

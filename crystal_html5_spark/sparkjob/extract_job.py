@@ -221,21 +221,18 @@ def top_error_pages(extracted: DataFrame, k: int = 20) -> DataFrame:
 
 
 def write_with_lineage(extracted: DataFrame, out_dir: str) -> None:
-    """Idempotent sink: extracted rows + metrics side table.  On Iceberg
-    this would be MERGE INTO keyed by (url, warc_ts); on plain parquet the
-    anti-join in run_extract(done_keys=read_done(out_dir)) provides
-    resume."""
-    extracted.write.mode("append").parquet(f"{out_dir}/extracted")
-    partition_metrics(extracted).withColumn(
-        "batch_ts", F.current_timestamp()
-    ).write.mode("append").parquet(f"{out_dir}/metrics")
+    """Idempotent sink: extracted rows + metrics side table, through the
+    io seam (Iceberg MERGE INTO keyed on (url, warc_ts) when the runtime
+    is present; parquet with a key anti-join otherwise — see io.py)."""
+    from crystal_html5_spark.sparkjob import io as tableio
+
+    spark = extracted.sparkSession
+    tableio.write_extracted(spark, extracted, out_dir)
+    tableio.write_metrics(partition_metrics(extracted), out_dir)
 
 
 def read_done_keys(spark, out_dir: str) -> DataFrame | None:
-    """High-water-mark for resume: keys already extracted."""
-    try:
-        return spark.read.parquet(f"{out_dir}/extracted").select(
-            "url", "warc_ts"
-        )
-    except Exception:  # noqa: BLE001 — first run: nothing done yet
-        return None
+    """High-water-mark for resume: keys already extracted (io seam)."""
+    from crystal_html5_spark.sparkjob import io as tableio
+
+    return tableio.read_done_keys(spark, out_dir)

@@ -1,0 +1,121 @@
+"""Table source/sink seam (north_rule: Iceberg tables of Common-Crawl
+style pages).
+
+This container has no iceberg-spark-runtime jar, so the seam selects the
+storage backend at runtime instead of hard-coding one:
+
+- **Iceberg available + table identifier**: reads via the catalog
+  (``spark.read.table``), sink is ``MERGE INTO`` keyed on
+  (url, warc_ts) — natively idempotent, resumable, time-travelable.
+- **Otherwise (parquet path)**: reads via ``spark.read.parquet``, sink
+  anti-joins the incoming batch against the keys already present before
+  appending, so re-running a failed/duplicate batch cannot write
+  duplicate rows.  Same contract, weaker isolation (no snapshot commit),
+  which is exactly what the resume anti-join in
+  ``extract_job.run_extract(done_keys=...)`` covers.
+
+Every production read (pages scan, relational views, embeddings) and the
+extraction sink route through these functions: pointing the pipeline at
+a real Iceberg catalog is a source-string change, not a code change.
+
+Reference behavior being re-expressed: crystal-html5 reads documents
+from files/IO objects (src/html5.cr parse/parse_io entry points); the
+table abstraction is the Spark-native equivalent surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MERGE_KEYS = ("url", "warc_ts")
+
+
+def iceberg_available(spark) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions."
+            "IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — absent class -> parquet fallback
+        return False
+
+
+def is_table_identifier(source: str) -> bool:
+    """Catalog table identifier (``cat.db.pages``) vs filesystem path."""
+    return "/" not in source and not source.endswith(".parquet")
+
+
+def read_table(spark, source: str) -> DataFrame:
+    """THE read seam: catalog table identifiers go through the catalog
+    (Iceberg partition pruning, snapshot isolation, metadata-only column
+    stats), paths through the parquet reader (column pruning + predicate
+    pushdown still apply — both arrive via DataSource V2)."""
+    if is_table_identifier(source):
+        return spark.read.table(source)
+    return spark.read.parquet(source)
+
+
+def read_pages(spark, source: str) -> DataFrame:
+    """The pages scan, pruned to the pipeline's input columns so only
+    (url, warc_ts, html) survive into the physical scan."""
+    return read_table(spark, source).select("url", "warc_ts", "html")
+
+
+def merge_into_sql(dest: str, view: str,
+                   keys: tuple = MERGE_KEYS) -> str:
+    """Idempotent Iceberg sink statement, keyed on the capture identity."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    return (
+        f"MERGE INTO {dest} t USING {view} s ON {on} "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def read_done_keys(spark, dest: str) -> DataFrame | None:
+    """Keys already durable at the sink (high-water mark for resume)."""
+    try:
+        if is_table_identifier(dest):
+            done = spark.read.table(dest)
+        else:
+            done = spark.read.parquet(f"{dest}/extracted")
+        return done.select(*MERGE_KEYS)
+    except Exception:  # noqa: BLE001 — first run: nothing done yet
+        return None
+
+
+def write_extracted(spark, extracted: DataFrame, dest: str) -> None:
+    """THE sink seam — idempotent under re-delivery of the same batch.
+
+    Iceberg: one atomic MERGE INTO commit (concurrent writers serialize
+    on the snapshot; a retried batch matches on (url, warc_ts) and
+    inserts nothing).  Parquet: anti-join the incoming batch against the
+    keys already on disk, then append — a retried batch writes zero rows.
+    The anti-join reads only the two key columns (column-pruned scan),
+    and AQE picks broadcast while the done-set is small.
+    """
+    if is_table_identifier(dest) and iceberg_available(spark):
+        if not spark.catalog.tableExists(dest):
+            extracted.writeTo(dest).create()
+            return
+        view = "_incoming_extracted"
+        extracted.createOrReplaceTempView(view)
+        spark.sql(merge_into_sql(dest, view))
+        return
+    done = read_done_keys(spark, dest)
+    if done is not None:
+        extracted = extracted.join(
+            done.distinct(), list(MERGE_KEYS), "left_anti"
+        )
+    extracted.write.mode("append").parquet(f"{dest}/extracted")
+
+
+def write_metrics(metrics: DataFrame, dest: str) -> None:
+    """Per-batch lineage/metrics side table (append-only by design:
+    each batch's row is a lineage fact, not state)."""
+    stamped = metrics.withColumn("batch_ts", F.current_timestamp())
+    if is_table_identifier(dest):
+        stamped.writeTo(f"{dest}_metrics").append()
+        return
+    stamped.write.mode("append").parquet(f"{dest}/metrics")

@@ -24,7 +24,8 @@ FEATURE_SCHEMA_DDL = (
 def synth_media(spark, sf_dir: str) -> DataFrame:
     """Deterministic synthetic media blobs derived from doc ids (stand-in
     for a real image column; no external data)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import io as tableio
+    docs = tableio.read_table(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
         F.expr(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import io as tableio
 from .extract_job import run_extract
 from .multimodal import media_features_query as _media_features
 from .pages import n_pages_for_sf, pages_parquet
@@ -30,7 +31,9 @@ TABLES = (
 
 def load_views(spark, sf_dir: str) -> None:
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        tableio.read_table(
+            spark, f"{sf_dir}/{t}.parquet"
+        ).createOrReplaceTempView(t)
 
 
 def _sql(query: str):
@@ -749,7 +752,7 @@ def _emb_near_dup_pairs(spark, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject.  Fully oracle-checked (integer outputs)."""
     from pyspark.sql import Window
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = tableio.read_table(spark, f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
     b = emb.mapInArrow(_lsh_bucketize_arrow, _BUCKETIZE_SCHEMA)
     b.createOrReplaceTempView("_emb_buckets")
@@ -795,7 +798,7 @@ def _ann_lsh_buckets(spark, sf_dir: str) -> DataFrame:
     stage.  Distributed: one vectorized Arrow pass per partition, no
     shuffle.  Exact-integer bucket decision gives this a full DuckDB
     oracle (see _ann_lsh_buckets_oracle)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = tableio.read_table(spark, f"{sf_dir}/embeddings.parquet")
     return (
         emb.select("vec_id", "embedding")
         .mapInArrow(_lsh_bucketize_arrow, _BUCKETIZE_SCHEMA)
@@ -820,7 +823,7 @@ def _ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
     network is each partition's local top-10."""
     from pyspark.sql import Window
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = tableio.read_table(spark, f"{sf_dir}/embeddings.parquet") \
         .select("vec_id", "embedding")
     b = emb.mapInArrow(_lsh_bucketize_arrow, _BUCKETIZE_SCHEMA)
     qb = (
@@ -849,7 +852,8 @@ def _pages(spark, sf_dir: str) -> DataFrame:
     """Pages as a parquet scan (cached by size+seed): the extract queries
     get the same pruned-scan plan as the bench/production path instead of
     a driver-side createDataFrame materialization."""
-    return spark.read.parquet(pages_parquet(spark, n_pages_for_sf(sf_dir)))
+    return tableio.read_table(
+        spark, pages_parquet(spark, n_pages_for_sf(sf_dir)))
 
 
 # page_links/page_titles are CSS/XPath-through-Spark correctness
@@ -866,7 +870,7 @@ _EXPECTED_DIR = _pathlib.Path(__file__).resolve().parents[2] \
 
 
 def _pages_fixed(spark) -> DataFrame:
-    return spark.read.parquet(pages_parquet(spark, _FIXED_PAGES_N))
+    return tableio.read_table(spark, pages_parquet(spark, _FIXED_PAGES_N))
 
 
 def _extract_pages(spark, sf_dir: str) -> DataFrame:

@@ -43,20 +43,22 @@ def main() -> None:
     spark = SparkSession.builder.appName("html5x-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    from crystal_html5_spark.sparkjob import io as tableio
     from crystal_html5_spark.sparkjob.extract_job import (
         read_done_keys,
         run_extract,
         write_with_lineage,
     )
 
-    pages = spark.read.parquet(args.pages)
+    pages = tableio.read_pages(spark, args.pages)
     done = read_done_keys(spark, args.out) if args.resume else None
     out = run_extract(
         spark, pages, num_partitions=args.partitions, salt=args.salt,
         done_keys=done,
     )
     write_with_lineage(out, args.out)
-    n = spark.read.parquet(f"{args.out}/extracted").count()
+    done = tableio.read_done_keys(spark, args.out)
+    n = done.count() if done is not None else 0
     print(f"extracted_total={n}")
     spark.stop()
 
