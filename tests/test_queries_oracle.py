@@ -135,6 +135,18 @@ def test_ann_plans_scale_safe(spark):
     assert "CartesianProduct" not in p4  # candidates via bucket equi-join
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """The k-means IVF index must stay a good index, not just a correct
+    query: >= 9 of the brute-force top-10 must survive the nprobe cell
+    pruning at sf0.01."""
+    q = entrymod.queries()
+    brute = {r["vec_id"] for r in q["ann_cosine_topk"](spark, SF_DIR)
+             .collect()}
+    ivf = {r["vec_id"] for r in q["ann_ivf_topk"](spark, SF_DIR)
+           .collect()}
+    assert len(brute & ivf) >= 9
+
+
 def test_extract_near_dups_plan_shuffle_free(spark):
     """Shingling stays on the array-expression path: no per-token
     explode (Generate) and no Window sort-shuffle before the signature
