@@ -158,9 +158,11 @@ class Token:
 _NAME_CACHE: dict[bytes, tuple[str, str]] = {}
 _KEY_CACHE: dict[bytes, str] = {}
 
-# Shared empty attr list for non-tag tokens: elements only ever take the
+# Shared empty attrs for non-tag tokens: elements only ever take the
 # attr list of START_TAG tokens, which is always freshly built.
-_EMPTY_ATTRS: list = []
+# Immutable on purpose — a consumer mutating a shared [] in place would
+# silently corrupt every subsequent non-tag token.
+_EMPTY_ATTRS: tuple = ()
 
 
 class Tokenizer:

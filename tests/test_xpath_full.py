@@ -263,3 +263,18 @@ def test_doc_order_across_contexts():
 
 def test_whitespace_tolerance():
     assert xpath_float(DOC, " count( //li [ @class ] ) ") == 2.0
+
+
+def test_operator_names_after_wildcard():
+    # XPath 1.0 section 3.7: an NCName after a NameTest '*' is an
+    # OperatorName — '//* and //b' must evaluate, not raise (and a '*'
+    # after an operand is still multiplication).
+    from crystal_html5_spark.html5x.xpath import xpath_bool
+
+    assert xpath_bool(DOC, "//* and //h1") is True
+    assert xpath_bool(DOC, "//nosuch and //h1") is False
+    assert xpath_bool(DOC, "//* or //nosuch") is True
+    assert xpath_float(DOC, "4 * 3") == 12.0
+    assert xpath_float(DOC, "4 div 2 * 3 mod 4") == 2.0
+    assert xpath_float(DOC, "count(//*) * 2") == \
+        2.0 * xpath_float(DOC, "count(//*)")
