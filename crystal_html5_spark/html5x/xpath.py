@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import re
+from functools import lru_cache
 
 from .node import (
     COMMENT_NODE,
@@ -343,12 +344,23 @@ def _children(n: Node):
 
 
 def _descendants(n: Node):
+    """Preorder descendants via the sibling/child pointers directly — no
+    per-node child-list materialization (profiled hotspot: the list
+    version dominated page_xpath_stats together with sort_dedup)."""
     out: list[Node] = []
-    stack = list(reversed(_children(n)))
-    while stack:
-        cur = stack.pop()
-        out.append(cur)
-        stack.extend(reversed(_children(cur)))
+    append = out.append
+    cur = n.first_child
+    while cur is not None:
+        append(cur)
+        if cur.first_child is not None:
+            cur = cur.first_child
+            continue
+        while cur is not None and cur is not n \
+                and cur.next_sibling is None:
+            cur = cur.parent
+        if cur is None or cur is n:
+            break
+        cur = cur.next_sibling
     return out
 
 
@@ -406,6 +418,13 @@ class _DocOrder:
 
 _REVERSE_AXES = frozenset((
     "ancestor", "ancestor-or-self", "preceding", "preceding-sibling",
+))
+
+# Axes whose candidates from ONE context are unique and already in
+# document order (attributes order by index, matching _DocOrder.key).
+_FORWARD_ORDERED_AXES = frozenset((
+    "self", "child", "descendant", "descendant-or-self", "attribute",
+    "following-sibling", "following",
 ))
 
 
@@ -638,6 +657,7 @@ class _Evaluator:
     def eval_steps(self, steps, context):
         result = list(context)
         for axis, test, preds in steps:
+            single = len(result) == 1
             gathered = []
             for ctx in result:
                 cands = [x for x in _axis_nodes(axis, ctx)
@@ -645,7 +665,14 @@ class _Evaluator:
                 for pred in preds:
                     cands = self._filter(cands, pred)
                 gathered.extend(cands)
-            result = self.order.sort_dedup(gathered)
+            # A single context expanded along a forward axis is already
+            # unique and in document order — skip the sort (profiled:
+            # sort_dedup was ~35% of page_xpath_stats CPU, and absolute
+            # paths hit the single-context case at every step).
+            if single and axis in _FORWARD_ORDERED_AXES:
+                result = gathered
+            else:
+                result = self.order.sort_dedup(gathered)
         return result
 
     # -- core function library -------------------------------------------------
@@ -852,9 +879,92 @@ def _materialize(x):
     return x
 
 
+# -- compile-time optimization ----------------------------------------------
+#
+# '//' parses as descendant-or-self::node()/child::X, which makes EVERY
+# node under the context a context for the child step (profiled: the
+# per-context _axis_nodes fan-out dominated page_xpath_stats).  When the
+# child step's predicates cannot observe position, the pair collapses to
+# the single step descendant::X — identical node-set, one traversal.
+
+_NUMERIC_FNS = frozenset((
+    "count", "sum", "string-length", "number", "floor", "ceiling",
+    "round", "position", "last",
+))
+
+
+def _returns_number(e) -> bool:
+    op = e[0]
+    if op in ("num", "arith", "neg"):
+        return True
+    return op == "call" and e[1] in _NUMERIC_FNS
+
+
+def _uses_position(e) -> bool:
+    if isinstance(e, (list,)):
+        return any(_uses_position(x) for x in e)
+    if not isinstance(e, tuple):
+        return False
+    if e[0] == "call" and e[1] in ("position", "last"):
+        return True
+    return any(_uses_position(x) for x in e[1:]
+               if isinstance(x, (tuple, list)))
+
+
+def _preds_position_free(preds) -> bool:
+    # A numeric predicate IS a position test ([1] keeps position 1), and
+    # position()/last() anywhere inside reads the candidate-list shape.
+    return all(not _returns_number(p) and not _uses_position(p)
+               for p in preds)
+
+
+def _opt_steps(steps):
+    steps = [(axis, test, [_optimize(p) for p in preds])
+             for axis, test, preds in steps]
+    out = []
+    i = 0
+    while i < len(steps):
+        axis, test, preds = steps[i]
+        if (axis == "descendant-or-self" and test == ("type", "node")
+                and not preds and i + 1 < len(steps)):
+            naxis, ntest, npreds = steps[i + 1]
+            if naxis == "child" and _preds_position_free(npreds):
+                out.append(("descendant", ntest, npreds))
+                i += 2
+                continue
+        out.append((axis, test, preds))
+        i += 1
+    return out
+
+
+def _optimize(e):
+    op = e[0]
+    if op == "path":
+        return ("path", e[1], _opt_steps(e[2]))
+    if op == "filter":
+        return ("filter", _optimize(e[1]),
+                [_optimize(p) for p in e[2]], _opt_steps(e[3]))
+    if op in ("or", "and", "union"):
+        return (op, _optimize(e[1]), _optimize(e[2]))
+    if op in ("cmp", "arith"):
+        return (op, e[1], _optimize(e[2]), _optimize(e[3]))
+    if op == "neg":
+        return ("neg", _optimize(e[1]))
+    if op == "call":
+        return ("call", e[1], [_optimize(a) for a in e[2]])
+    return e  # lit / num
+
+
+@lru_cache(maxsize=512)
+def _compile(path: str):
+    """Tokenize+parse once per distinct path string: the AST is immutable
+    nested tuples, safe to share across evaluations (extraction pipelines
+    run the same handful of queries over millions of pages)."""
+    return _optimize(_Parser(_tokenize(path)).parse())
+
+
 def _eval(node: Node, path: str):
-    expr = _Parser(_tokenize(path)).parse()
-    return _Evaluator().eval(expr, node, 1, 1)
+    return _Evaluator().eval(_compile(path), node, 1, 1)
 
 
 def xpath(node: Node, path: str):
