@@ -156,6 +156,8 @@ def main() -> None:
           lambda: Q.QUERIES["docs_winnow_fp"](spark, sf_dir).count())
     timed("latest_event_per_user",
           lambda: Q.QUERIES["latest_event_per_user"](spark, sf_dir).count())
+    timed("page_xpath_stats",
+          lambda: Q.page_xpath_stats_scaled(spark, sf_dir).count())
 
     extract_sec = timings["extract_pipeline"]
     result = {

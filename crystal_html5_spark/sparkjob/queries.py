@@ -1056,13 +1056,10 @@ def _page_titles(spark, sf_dir: str) -> DataFrame:
     return pages.mapInArrow(titles, "url string, title string").orderBy("url")
 
 
-def _page_xpath_stats(spark, sf_dir: str) -> DataFrame:
-    """Full-XPath-1.0 extraction per page (round-2 surface): the
-    real-world query shapes the round-1 subset rejected — contains(),
-    normalize-space(), axes, positional predicates, count().  Pinned to
-    the fixed 500-page fixture so the frozen in-process-engine parquet
-    (scripts/freeze_expected.py) is its oracle at every sf."""
-    pages = _pages_fixed(spark).select("url", "html")
+def xpath_stats_over(pages: DataFrame) -> DataFrame:
+    """XPath stats UDF over any (url, html) frame — shared by the
+    driver-contract query (fixed fixture, frozen oracle) and the bench's
+    sf-scaled throughput entry."""
 
     def stats(iterator):
         import pyarrow as pa
@@ -1109,6 +1106,22 @@ def _page_xpath_stats(spark, sf_dir: str) -> DataFrame:
         "url string, title_norm string, n_ref_links bigint,"
         " first_nav_href string, n_nonempty_paras bigint",
     ).orderBy("url")
+
+
+def _page_xpath_stats(spark, sf_dir: str) -> DataFrame:
+    """Full-XPath-1.0 extraction per page (round-2 surface): the
+    real-world query shapes the round-1 subset rejected — contains(),
+    normalize-space(), axes, positional predicates, count().  Pinned to
+    the fixed 500-page fixture so the frozen in-process-engine parquet
+    (scripts/freeze_expected.py) is its oracle at every sf."""
+    return xpath_stats_over(_pages_fixed(spark).select("url", "html"))
+
+
+def page_xpath_stats_scaled(spark, sf_dir: str) -> DataFrame:
+    """Bench-only variant over the sf-scaled pages table (throughput
+    measurement; the fixed-fixture version above is the correctness
+    surface)."""
+    return xpath_stats_over(_pages(spark, sf_dir).select("url", "html"))
 
 
 def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
