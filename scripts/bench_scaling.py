@@ -31,8 +31,16 @@ def worker(cpus: int, pages_path: str, runs: int) -> None:
     from crystal_html5_spark.sparkjob.extract_job import run_extract
     from crystal_html5_spark.sparkjob.session import get_spark
 
+    import os
+
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        # Same rationale as bench.py: the VM's virtio disk has bursty
+        # write throttling; the shuffle is RAM-sized.  Real clusters use
+        # executor-local NVMe.
+        extra["spark.local.dir"] = f"/dev/shm/spark-scale-{cpus}"
     spark = get_spark(f"scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
 
