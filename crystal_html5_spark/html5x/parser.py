@@ -57,6 +57,7 @@ DEFAULT_SCOPE_STOP_TAGS = {
     "math": frozenset(("annotation-xml", "mi", "mn", "mo", "ms", "mtext")),
     "svg": frozenset(("desc", "foreignObject", "title")),
 }
+_STOP_TAGS_EMPTY_NS = DEFAULT_SCOPE_STOP_TAGS[""]
 
 _IMPLIED_END_TAGS = frozenset((
     "dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc",
@@ -278,12 +279,13 @@ class Parser:
     def index_of_element_in_scope(self, s: int, *match_tags: str) -> int:
         oe = self.oe
         check_stop = s <= BUTTON_SCOPE  # DEFAULT/LIST_ITEM/BUTTON are 0,1,2
-        stop_tags = DEFAULT_SCOPE_STOP_TAGS
+        # The "" namespace is ~100% of frames on real pages: resolve its
+        # stop set once instead of a per-frame dict lookup.
+        stop_empty = _STOP_TAGS_EMPTY_NS
         for i in range(len(oe) - 1, -1, -1):
             n = oe[i]
             tag_atom = n.data_atom
-            ns = n.namespace
-            if ns == "":
+            if n.namespace == "":
                 if tag_atom in match_tags:
                     return i
                 if s == LIST_ITEM_SCOPE:
@@ -298,8 +300,10 @@ class Parser:
                 elif s == SELECT_SCOPE:
                     if tag_atom not in ("optgroup", "option"):
                         return -1
-            if check_stop:
-                stop = stop_tags.get(ns)
+                if check_stop and tag_atom in stop_empty:
+                    return -1
+            elif check_stop:
+                stop = DEFAULT_SCOPE_STOP_TAGS.get(n.namespace)
                 if stop and tag_atom in stop:
                     return -1
         return -1

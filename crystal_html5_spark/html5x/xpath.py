@@ -6,9 +6,12 @@ shard (/root/reference/shard.yml:13-16, evaluated via
 XPath 1.0 language.  This module implements that language from the public
 W3C grammar (https://www.w3.org/TR/1999/REC-xpath-19991116/):
 
-- all named axes except ``namespace`` (child, descendant[-or-self],
-  parent, ancestor[-or-self], following[-sibling], preceding[-sibling],
-  self, attribute) plus the ``@`` / ``//`` / ``.`` / ``..`` abbreviations;
+- ALL named axes (child, descendant[-or-self], parent,
+  ancestor[-or-self], following[-sibling], preceding[-sibling], self,
+  attribute, namespace) plus the ``@`` / ``//`` / ``.`` / ``..``
+  abbreviations; the HTML5 DOM assigns namespaces structurally, so the
+  namespace axis exposes the element's default namespace (xhtml/
+  mathml/svg spec URI) plus the implicit ``xml`` namespace;
 - node tests: name, ``*``, ``text()``, ``comment()``, ``node()``,
   ``processing-instruction()`` (this DOM has no PI nodes -> empty);
 - the four value types (node-set, boolean, number, string) with the spec
@@ -122,7 +125,7 @@ def _tokenize(path: str):
 _AXES = frozenset((
     "child", "descendant", "descendant-or-self", "parent", "ancestor",
     "ancestor-or-self", "following", "following-sibling", "preceding",
-    "preceding-sibling", "self", "attribute",
+    "preceding-sibling", "self", "attribute", "namespace",
 ))
 
 
@@ -322,6 +325,31 @@ class _Parser:
 # ----------------------------- data model ---------------------------------
 
 
+# The HTML5 DOM assigns namespaces structurally (html/math/svg), not via
+# xmlns declarations; these are the spec URIs for the three content
+# namespaces plus the always-in-scope xml namespace (XPath 1.0 section
+# 5.4: every element has a namespace node for 'xml').
+_NS_URI = {
+    "": "http://www.w3.org/1999/xhtml",
+    "math": "http://www.w3.org/1998/Math/MathML",
+    "svg": "http://www.w3.org/2000/svg",
+}
+_XML_NS_URI = "http://www.w3.org/XML/1998/namespace"
+
+
+class _NsRef:
+    """Namespace-axis result: owner element + prefix/uri.  Name = the
+    prefix ('' for the default namespace), string-value = the URI."""
+
+    __slots__ = ("owner", "prefix", "uri", "index")
+
+    def __init__(self, owner: Node, prefix: str, uri: str, index: int):
+        self.owner = owner
+        self.prefix = prefix
+        self.uri = uri
+        self.index = index
+
+
 class _AttrRef:
     """Attribute-axis result: owner node + key/val."""
 
@@ -365,7 +393,7 @@ def _descendants(n: Node):
 
 
 def _root_of(n) -> Node:
-    if isinstance(n, _AttrRef):
+    if isinstance(n, (_AttrRef, _NsRef)):
         n = n.owner
     while n.parent is not None:
         n = n.parent
@@ -375,6 +403,8 @@ def _root_of(n) -> Node:
 def _string_value(x) -> str:
     if isinstance(x, _AttrRef):
         return x.val
+    if isinstance(x, _NsRef):
+        return x.uri
     if x.type in (TEXT_NODE, COMMENT_NODE):
         return x.data
     return x.inner_text()
@@ -394,19 +424,27 @@ class _DocOrder:
             self._idx[id(d)] = i
 
     def key(self, x):
-        n = x.owner if isinstance(x, _AttrRef) else x
+        if isinstance(x, _AttrRef):
+            n, sub = x.owner, (2, x.index)  # attrs after namespace nodes
+        elif isinstance(x, _NsRef):
+            n, sub = x.owner, (1, x.index)
+        else:
+            n, sub = x, (0, 0)
         if id(n) not in self._idx:
             self._build(_root_of(n))
         base = self._idx.get(id(n), 1 << 60)
-        if isinstance(x, _AttrRef):
-            return (base, 1, x.index)
-        return (base, 0, 0)
+        return (base, *sub)
 
     def sort_dedup(self, nodes):
         seen = set()
         out = []
         for x in nodes:
-            k = (id(x.owner), x.key) if isinstance(x, _AttrRef) else id(x)
+            if isinstance(x, _AttrRef):
+                k = (id(x.owner), 0, x.key)
+            elif isinstance(x, _NsRef):
+                k = (id(x.owner), 1, x.prefix)
+            else:
+                k = id(x)
             if k not in seen:
                 seen.add(k)
                 out.append(x)
@@ -431,7 +469,7 @@ _FORWARD_ORDERED_AXES = frozenset((
 def _axis_nodes(axis: str, ctx):
     """Candidates along `axis` from ctx, in AXIS order (reverse axes are
     nearest-first, per proximity-position semantics)."""
-    is_attr = isinstance(ctx, _AttrRef)
+    is_attr = isinstance(ctx, (_AttrRef, _NsRef))
     if axis == "self":
         return [ctx]
     if axis == "parent":
@@ -497,11 +535,25 @@ def _axis_nodes(axis: str, ctx):
             return [_AttrRef(ctx, a.key, a.val, i)
                     for i, a in enumerate(ctx.attr)]
         return []
+    if axis == "namespace":
+        # In-scope namespaces of an element in this DOM: its structural
+        # default namespace plus the implicit xml namespace.
+        if getattr(ctx, "type", None) == ELEMENT_NODE:
+            return [
+                _NsRef(ctx, "", _NS_URI.get(ctx.namespace,
+                                            _NS_URI[""]), 0),
+                _NsRef(ctx, "xml", _XML_NS_URI, 1),
+            ]
+        return []
     raise XPathError(f"unknown axis {axis!r}")
 
 
 def _node_test(axis: str, test, x) -> bool:
     kind, val = test
+    if isinstance(x, _NsRef):
+        if kind == "type":
+            return val == "node"
+        return val == "*" or x.prefix == val
     if isinstance(x, _AttrRef):
         if kind == "type":
             return val == "node"
@@ -715,9 +767,19 @@ class _Evaluator:
             x = self.order.sort_dedup(v)[0]
             if isinstance(x, _AttrRef):
                 return x.key
+            if isinstance(x, _NsRef):
+                return x.prefix
             return x.data if x.type == ELEMENT_NODE else ""
         if name == "namespace-uri" and n <= 1:
-            return ""
+            v = a(0) if n else [ctx]
+            if not isinstance(v, list):
+                raise XPathError("namespace-uri() requires a node-set")
+            if not v:
+                return ""
+            x = self.order.sort_dedup(v)[0]
+            if getattr(x, "type", None) == ELEMENT_NODE:
+                return _NS_URI.get(x.namespace, "")
+            return ""  # attributes/namespace nodes: null namespace
         if name == "string" and n <= 1:
             return self.to_string(a(0)) if n else _string_value(ctx)
         if name == "concat" and n >= 2:
@@ -777,7 +839,7 @@ class _Evaluator:
             return False
         if name == "lang" and n == 1:
             want = self.to_string(a(0)).lower()
-            node = ctx.owner if isinstance(ctx, _AttrRef) else ctx
+            node = ctx.owner if isinstance(ctx, (_AttrRef, _NsRef)) else ctx
             while node is not None:
                 for at in getattr(node, "attr", ()):
                     if at.key == "lang" or at.key == "xml:lang":
@@ -869,10 +931,17 @@ def _xpath_round(v: float) -> float:
 
 
 def _materialize(x):
-    """Attribute results become synthetic Element+Text (xpath.cr:66-82)."""
+    """Attribute results become synthetic Element+Text (xpath.cr:66-82);
+    namespace nodes follow the same convention (prefix + URI text)."""
     if isinstance(x, _AttrRef):
         child = Node(type=TEXT_NODE, data=x.val)
         ret = Node(type=ELEMENT_NODE, data=x.key)
+        ret.first_child = child
+        ret.last_child = child
+        return ret
+    if isinstance(x, _NsRef):
+        child = Node(type=TEXT_NODE, data=x.uri)
+        ret = Node(type=ELEMENT_NODE, data=x.prefix or "xmlns")
         ret.first_child = child
         ret.last_child = child
         return ret

@@ -176,7 +176,11 @@ def test_position_last():
 def test_name_functions():
     assert xpath_string(DOC, "name(//ul)") == "ul"
     assert xpath_string(DOC, "local-name(//ul/@id)") == "id"
-    assert xpath_string(DOC, "namespace-uri(//ul)") == ""
+    # HTML elements live in the xhtml namespace (structural assignment);
+    # attributes have the null namespace.
+    assert xpath_string(DOC, "namespace-uri(//ul)") == \
+        "http://www.w3.org/1999/xhtml"
+    assert xpath_string(DOC, "namespace-uri(//ul/@id)") == ""
 
 
 def test_id_function():
@@ -278,3 +282,40 @@ def test_operator_names_after_wildcard():
     assert xpath_float(DOC, "4 div 2 * 3 mod 4") == 2.0
     assert xpath_float(DOC, "count(//*) * 2") == \
         2.0 * xpath_float(DOC, "count(//*)")
+
+
+def test_namespace_axis():
+    from crystal_html5_spark.html5x.parser import parse
+    from crystal_html5_spark.html5x.xpath import (
+        xpath_bool,
+        xpath_float,
+        xpath_nodes,
+        xpath_string,
+    )
+
+    doc = parse(b"<html><body><p>t</p><svg><circle/></svg>"
+                b"<math><mi>x</mi></math></body></html>")
+    # Two namespace nodes per element: default + implicit xml.
+    assert xpath_float(doc, "count(//p/namespace::*)") == 2.0
+    assert xpath_string(doc, "string(//p/namespace::*[1])") == \
+        "http://www.w3.org/1999/xhtml"
+    assert xpath_string(doc, "string(//p/namespace::xml)") == \
+        "http://www.w3.org/XML/1998/namespace"
+    # Foreign-content elements expose their structural namespace.
+    assert xpath_string(doc, "string(//circle/namespace::*[1])") == \
+        "http://www.w3.org/2000/svg"
+    assert xpath_string(doc, "string(//mi/namespace::*[1])") == \
+        "http://www.w3.org/1998/Math/MathML"
+    # namespace-uri() of elements follows the same mapping.
+    assert xpath_string(doc, "namespace-uri(//circle)") == \
+        "http://www.w3.org/2000/svg"
+    assert xpath_string(doc, "namespace-uri(//p)") == \
+        "http://www.w3.org/1999/xhtml"
+    # parent:: from a namespace node returns the owner element.
+    assert xpath_bool(doc, "count(//p/namespace::*/parent::p) = 1")
+    # name() of a namespace node is its prefix; materialized nodes carry
+    # the URI as text.
+    assert xpath_string(doc, "name(//p/namespace::*[2])") == "xml"
+    ns_nodes = xpath_nodes(doc, "//p/namespace::*")
+    assert [n.data for n in ns_nodes] == ["xmlns", "xml"]
+    assert ns_nodes[0].inner_text() == "http://www.w3.org/1999/xhtml"
