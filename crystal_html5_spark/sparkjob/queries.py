@@ -191,6 +191,43 @@ WHERE length(text) > 0
 ORDER BY doc_id
 """
 
+# Stopword / punctuation quality signals (the length/punct/stopword
+# ratio triple of a training-data quality filter).  Integer outputs for
+# hash stability; the stopword test is a lambda-filter over the
+# lowercased word list — map-side, codegen, no explode.
+_STOPWORDS_SQL = ("'the','and','of','to','a','in','is','it','for','on',"
+                  "'with','as','was','at','by','an','be','this','that',"
+                  "'from'")
+
+
+def _docs_stopword_punct_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+        nstop = (f"size(filter({words}, t -> t IN ({_STOPWORDS_SQL})))")
+        nwords = f"size({words})"
+        npunct = (r"length(regexp_replace(text, '[A-Za-z0-9\\s]', ''))")
+    else:
+        words = "regexp_extract_all(lower(text), '[a-z]+')"
+        nstop = (f"len(list_filter({words},"
+                 f" t -> t IN ({_STOPWORDS_SQL})))")
+        nwords = f"len({words})"
+        npunct = (r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))")
+    return f"""
+SELECT doc_id,
+       CAST({nwords} AS BIGINT) AS n_words,
+       CAST({nstop} AS BIGINT) AS n_stopwords,
+       CAST(CASE WHEN {nwords} > 0
+            THEN FLOOR(100.0 * {nstop} / {nwords}) ELSE -1 END AS BIGINT)
+           AS stopword_pct,
+       CAST({npunct} AS BIGINT) AS n_punct,
+       CAST(CASE WHEN length(text) > 0
+            THEN FLOOR(100.0 * {npunct} / length(text)) ELSE -1 END
+            AS BIGINT) AS punct_pct
+FROM documents
+ORDER BY doc_id
+"""
+
+
 _DOCS_LANG_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS sum_chars
@@ -1202,6 +1239,7 @@ QUERIES: dict = {
     "docs_dedup_exact": _sql(_DOCS_DEDUP_EXACT),
     "docs_token_stats": _sql(_DOCS_TOKEN_STATS_SPARK),
     "docs_quality": _sql(_DOCS_QUALITY),
+    "docs_stopword_punct": _sql(_docs_stopword_punct_sql("spark")),
     "docs_lang_stats": _sql(_DOCS_LANG_STATS),
     "docs_langid": _sql(_DOCS_LANGID),
     "docs_fingerprint": _sql(_DOCS_FINGERPRINT_SPARK),
@@ -1242,6 +1280,7 @@ ORACLES: dict = {
     "docs_dedup_exact": _DOCS_DEDUP_EXACT,
     "docs_token_stats": _DOCS_TOKEN_STATS_DUCK,
     "docs_quality": _DOCS_QUALITY_DUCK,
+    "docs_stopword_punct": _docs_stopword_punct_sql("duck"),
     "docs_lang_stats": _DOCS_LANG_STATS,
     "docs_langid": _DOCS_LANGID,
     "docs_fingerprint": _DOCS_FINGERPRINT_DUCK,
