@@ -4,11 +4,17 @@ Pattern for image/audio/video columns at 100 TB: media stays an opaque
 ``binary`` column with a mime/meta struct; decode / feature-extraction /
 resize run as Arrow-batched ``mapInPandas``/``mapInArrow`` UDFs.
 
-Decode honesty: PNG inputs are decoded FOR REAL by the pure-stdlib codec
-in ``pngcodec.py`` (width/height/features come from actual unfiltered
-IDAT pixel data).  Other mime types still go through ``decode_image``:
-PIL when importable, otherwise the clearly-marked deterministic fake —
-the Spark-side plumbing (schema, partitioning, UDF signature, batch
+Decode honesty, by mime:
+- ``image/png``  — REAL pixel decode (pure-stdlib codec, pngcodec.py):
+  width/height/features from unfiltered IDAT data.
+- ``audio/wav``  — REAL PCM decode (wavcodec.py): sample rate, channels
+  and amplitude features from the actual samples.
+- ``image/jpeg`` — header-honest: dimensions parsed from the SOF marker
+  (full pixel decode needs a DCT; the decoder column says
+  'jpeg-header' and features fall back to byte stripes).
+- anything else — ``decode_image``: PIL when importable, otherwise the
+  clearly-marked deterministic fake.
+The Spark-side plumbing (schema, partitioning, UDF signature, batch
 shape) is identical for every path.
 """
 
@@ -19,15 +25,16 @@ from pyspark.sql import DataFrame, functions as F
 MEDIA_SCHEMA_DDL = "doc_id bigint, media binary, mime string"
 FEATURE_SCHEMA_DDL = (
     "doc_id bigint, media_len int, decoder string,"
-    " width int, height int, feature array<double>"
+    " width int, height int, sample_rate int, n_samples int,"
+    " feature array<double>"
 )
 
 
 def synth_media(spark, sf_dir: str) -> DataFrame:
     """Deterministic synthetic media blobs derived from doc ids (stand-in
-    for a real image column; no external data).  Every third doc gets a
-    REAL spec-valid PNG (gray, size and pixels derived from doc_id) so
-    the honest decode path is exercised; the rest keep opaque bytes."""
+    for a real media column; no external data).  doc_id % 4 selects the
+    modality: 0 -> real PNG, 1 -> real PCM WAV, 2 -> JPEG container with
+    honest header dimensions, 3 -> opaque bytes (fake path)."""
     from . import io as tableio
 
     docs = tableio.read_table(spark, f"{sf_dir}/documents.parquet") \
@@ -40,12 +47,14 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
         import pyarrow as pa
 
         from .pngcodec import encode_png
+        from .wavcodec import encode_jpeg_stub, encode_wav
 
         for batch in iterator:
             ids = batch.column("doc_id").to_pylist()
             media, mime = [], []
             for i in ids:
-                if i % 3 == 0:
+                kind = i % 4
+                if kind == 0:
                     w = 4 + i % 13
                     h = 3 + i % 11
                     px = ((i * 31 + np.arange(h * w, dtype=np.int64))
@@ -53,6 +62,19 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                     media.append(encode_png(px, channels=1,
                                             filter_type=i % 5))
                     mime.append("image/png")
+                elif kind == 1:
+                    n = 256 + i % 500
+                    samples = (((np.arange(n, dtype=np.int64)
+                                 * (i % 7 + 1) * 997) % 4096) - 2048) \
+                        .astype(np.int16)
+                    media.append(encode_wav(
+                        samples, sample_rate=8000 + (i % 3) * 4000))
+                    mime.append("audio/wav")
+                elif kind == 2:
+                    seed = hashlib.md5(str(i).encode()).digest()
+                    media.append(encode_jpeg_stub(
+                        16 + i % 31, 9 + i % 17, seed * 16))
+                    mime.append("image/jpeg")
                 else:
                     seed = hashlib.md5(str(i).encode()).digest()
                     media.append(seed * 64)
@@ -68,7 +90,7 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
 
 
 def decode_image(data: bytes) -> dict:
-    """Decode for non-PNG mimes.  Tries a real decoder; otherwise a
+    """Decode for unrecognized mimes.  Tries a real decoder; otherwise a
     deterministic fake (documented contract: same bytes -> same
     features)."""
     try:  # pragma: no cover - PIL not present in this container
@@ -92,22 +114,32 @@ def decode_image(data: bytes) -> dict:
         }
 
 
+def _stripe_means(values, k: int):
+    """Per-stripe means of a 1-d float array (np.array_split shape)."""
+    import numpy as np
+
+    return [float(seg.mean()) if seg.size else 0.0
+            for seg in np.array_split(np.asarray(values, np.float64), k)]
+
+
 def extract_media_features(media: DataFrame,
                            feature_dim: int = 4) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    PNG rows (by mime) are decoded for real — width/height/stripe-means
-    come from unfiltered pixel data.  The non-PNG path stays fully
-    vectorized: one concatenation + np.add.reduceat over stripe
-    boundaries computes every row's per-stripe byte means with no Python
-    loop.  Codec calls are inherently per-blob, so only PNG rows pay a
-    per-row loop."""
+    PNG and WAV rows decode for real; JPEG rows get honest header
+    dimensions.  The residual fake path stays fully vectorized: one
+    concatenation + np.add.reduceat over stripe boundaries computes
+    every row's per-stripe byte means with no Python loop.  Codec calls
+    are inherently per-blob, so only decodable rows pay a per-row
+    loop."""
 
     def feats(iterator):
         import numpy as np
         import pandas as pd
 
         from .pngcodec import PngError, decode_png
+        from .wavcodec import JpegError, WavError, decode_wav, \
+            jpeg_dimensions
 
         try:  # pragma: no cover — PIL not present in this container
             from PIL import Image  # noqa: F401
@@ -126,25 +158,43 @@ def extract_media_features(media: DataFrame,
             decoder = ["fake"] * n_rows
             width = np.zeros(n_rows, dtype=np.int64)
             height = np.zeros(n_rows, dtype=np.int64)
+            sample_rate = np.zeros(n_rows, dtype=np.int64)
+            n_samples = np.zeros(n_rows, dtype=np.int64)
+            decoded = np.zeros(n_rows, dtype=bool)
 
-            # --- honest PNG decode (per-blob: codec work) -------------
-            png_idx = [i for i, m in enumerate(mimes) if m == "image/png"]
-            for i in png_idx:
-                try:
-                    w, h, _ch, px = decode_png(blobs[i])
-                except PngError:
-                    continue  # stays on the fake path below
-                decoder[i] = "png"
-                width[i], height[i] = w, h
-                flat_px = px.reshape(-1).astype(np.float64)
-                feat_mat[i] = [seg.mean() if seg.size else 0.0
-                               for seg in np.array_split(flat_px, k)]
-            png_done = np.zeros(n_rows, dtype=bool)
-            for i in png_idx:
-                png_done[i] = decoder[i] == "png"
+            for i, m in enumerate(mimes):
+                if m == "image/png":
+                    try:
+                        w, h, _ch, px = decode_png(blobs[i])
+                    except PngError:
+                        continue  # fake path below
+                    decoder[i] = "png"
+                    width[i], height[i] = w, h
+                    feat_mat[i] = _stripe_means(px.reshape(-1), k)
+                    decoded[i] = True
+                elif m == "audio/wav":
+                    try:
+                        rate, _ch, samples = decode_wav(blobs[i])
+                    except WavError:
+                        continue
+                    decoder[i] = "wav"
+                    sample_rate[i] = rate
+                    n_samples[i] = samples.size
+                    feat_mat[i] = _stripe_means(np.abs(samples), k)
+                    decoded[i] = True
+                elif m == "image/jpeg":
+                    try:
+                        w, h, _nc = jpeg_dimensions(blobs[i])
+                    except JpegError:
+                        continue
+                    decoder[i] = "jpeg-header"
+                    width[i], height[i] = w, h
+                    # features stay byte stripes (no DCT decode) — the
+                    # vectorized pass below fills them
+                    continue
 
-            # --- vectorized stripe means for everything else ----------
-            rest = ~png_done
+            # --- vectorized stripe means for everything undecoded -----
+            rest = ~decoded
             if rest.any() and lens[rest].sum() > 0:
                 cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
                 offsets = np.concatenate(
@@ -167,6 +217,8 @@ def extract_media_features(media: DataFrame,
                 nz = (sizes > 0) & rest[:, None]
                 feat_mat[nz] = sums[nz] / sizes[nz]
 
+            fake = np.fromiter((d == "fake" for d in decoder),
+                               dtype=bool, count=n_rows)
             firsts = np.where(
                 lens > 0,
                 np.fromiter((b[0] if b else 0 for b in blobs),
@@ -176,19 +228,21 @@ def extract_media_features(media: DataFrame,
                 np.fromiter((b[-1] if b else 0 for b in blobs),
                             dtype=np.int64, count=n_rows), 0)
             if have_pil:  # pragma: no cover — real-decoder slow path
-                for i in np.nonzero(rest)[0]:
+                for i in np.nonzero(fake)[0]:
                     m = decode_image(blobs[i])
                     decoder[i] = m["decoder"]
                     width[i], height[i] = m["width"], m["height"]
             else:
-                width[rest] = (1 + firsts)[rest]
-                height[rest] = (1 + lasts)[rest]
+                width[fake] = (1 + firsts)[fake]
+                height[fake] = (1 + lasts)[fake]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "media_len": lens.astype("int32"),
                 "decoder": decoder,
                 "width": width.astype("int32"),
                 "height": height.astype("int32"),
+                "sample_rate": sample_rate.astype("int32"),
+                "n_samples": n_samples.astype("int32"),
                 "feature": [row.tolist() for row in feat_mat],
             })
 
@@ -202,6 +256,7 @@ def media_features_query(spark, sf_dir: str) -> DataFrame:
     out = extract_media_features(synth_media(spark, sf_dir))
     return out.select(
         "doc_id", "media_len", "decoder", "width", "height",
+        "sample_rate", "n_samples",
         F.round(F.element_at("feature", 1), 6).alias("f1"),
         F.round(F.element_at("feature", 2), 6).alias("f2"),
     ).orderBy("doc_id")

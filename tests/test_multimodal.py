@@ -126,18 +126,61 @@ def test_png_rows_decode_for_real(spark):
     assert bad["decoder"] == "fake"  # PngError -> deterministic fallback
 
 
-def test_media_features_query_mixes_real_and_fake(spark):
+def test_wav_roundtrip():
+    from crystal_html5_spark.sparkjob.wavcodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = (np.arange(1000) * 37 % 4096 - 2048).astype(np.int16)
+    rate, ch, out = decode_wav(encode_wav(samples, sample_rate=12000))
+    assert (rate, ch) == (12000, 1)
+    assert np.array_equal(out, samples)
+
+
+def test_wav_rejects_garbage():
+    from crystal_html5_spark.sparkjob.wavcodec import WavError, decode_wav
+
+    with pytest.raises(WavError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(WavError):
+        decode_wav(b"clearly not audio")
+
+
+def test_jpeg_dimensions_from_header():
+    from crystal_html5_spark.sparkjob.wavcodec import (
+        JpegError,
+        encode_jpeg_stub,
+        jpeg_dimensions,
+    )
+
+    blob = encode_jpeg_stub(640, 480, b"\x12\x34" * 100)
+    assert jpeg_dimensions(blob) == (640, 480, 1)
+    with pytest.raises(JpegError):
+        jpeg_dimensions(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_media_features_query_all_modalities(spark):
     from crystal_html5_spark.sparkjob.multimodal import (
         media_features_query,
     )
 
     rows = media_features_query(spark, "/root/testdata/sf0.001").collect()
     decoders = {r["decoder"] for r in rows}
-    assert decoders == {"png", "fake"}
-    png_rows = [r for r in rows if r["decoder"] == "png"]
-    assert all(r["doc_id"] % 3 == 0 for r in png_rows)
+    assert decoders == {"png", "wav", "jpeg-header", "fake"}
+    by_mod = {d: [r for r in rows if r["decoder"] == d] for d in decoders}
+    assert all(r["doc_id"] % 4 == 0 for r in by_mod["png"])
     assert all(4 <= r["width"] <= 16 and 3 <= r["height"] <= 13
-               for r in png_rows)
+               for r in by_mod["png"])
+    # WAV rows carry real audio metadata and amplitude features.
+    assert all(r["doc_id"] % 4 == 1 for r in by_mod["wav"])
+    assert all(r["sample_rate"] in (8000, 12000, 16000)
+               for r in by_mod["wav"])
+    assert all(256 <= r["n_samples"] <= 756 for r in by_mod["wav"])
+    assert all(0 < r["f1"] <= 2048 for r in by_mod["wav"])  # mean |amp|
+    # JPEG rows carry header-honest dimensions.
+    assert all(16 <= r["width"] <= 46 and 9 <= r["height"] <= 25
+               for r in by_mod["jpeg-header"])
     # Deterministic across runs (driver rows-only contract).
     again = media_features_query(spark, "/root/testdata/sf0.001").collect()
     assert rows == again
