@@ -90,9 +90,13 @@ def _paeth(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def decode_png(data: bytes):
+def decode_png(data: bytes, max_pixels: int = 1 << 26):
     """Decode a PNG -> (width, height, channels, pixels) where pixels is
-    an (h, w*channels) uint8 numpy array of real, unfiltered samples."""
+    an (h, w*channels) uint8 numpy array of real, unfiltered samples.
+
+    ``max_pixels`` bounds allocation against lying headers, and IDAT
+    inflation is capped at the header-implied size (zip-bomb guard): at
+    100 TB a hostile blob must become an error row, not an OOM."""
     import numpy as np
 
     if not data.startswith(_SIGNATURE):
@@ -111,6 +115,8 @@ def decode_png(data: bytes):
                 zlib.crc32(ctype + body) & 0xFFFFFFFF):
             raise PngError("chunk crc mismatch")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PngError("bad IHDR length")
             width, height, depth, colortype, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
             if depth != 8:
@@ -119,6 +125,8 @@ def decode_png(data: bytes):
                 raise PngError(f"unsupported color type {colortype}")
             if comp or filt or interlace:
                 raise PngError("unsupported compression/filter/interlace")
+            if not width or not height or width * height > max_pixels:
+                raise PngError("unreasonable dimensions")
             channels = _CHANNELS[colortype]
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -128,12 +136,16 @@ def decode_png(data: bytes):
     if width is None or not idat:
         raise PngError("missing IHDR or IDAT")
 
+    row_bytes = width * channels
+    expected = height * (1 + row_bytes)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.decompress(b"", 1):  # more output than the header implies
+            raise PngError("idat inflates past header size")
     except zlib.error as e:
         raise PngError(f"idat: {e}") from e
-    row_bytes = width * channels
-    if len(raw) != height * (1 + row_bytes):
+    if len(raw) != expected:
         raise PngError("idat length mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + row_bytes)
     filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)

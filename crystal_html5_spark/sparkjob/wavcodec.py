@@ -73,6 +73,8 @@ def decode_wav(data: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or pcm is None:
         raise WavError("missing fmt or data chunk")
+    if len(pcm) % 2:
+        raise WavError("odd-length 16-bit PCM data")
     samples = np.frombuffer(pcm, dtype="<i2")
     return rate, channels, samples
 

@@ -184,3 +184,57 @@ def test_media_features_query_all_modalities(spark):
     # Deterministic across runs (driver rows-only contract).
     again = media_features_query(spark, "/root/testdata/sf0.001").collect()
     assert rows == again
+
+
+def test_codec_fuzz_never_crashes():
+    """Arbitrary bytes must raise the typed codec error (or decode),
+    never escape with IndexError/struct.error/etc — a malformed blob in
+    a 100 TB table must become an error row, not a task failure."""
+    import random
+
+    from crystal_html5_spark.sparkjob.pngcodec import PngError, decode_png
+    from crystal_html5_spark.sparkjob.wavcodec import (
+        JpegError,
+        WavError,
+        decode_wav,
+        jpeg_dimensions,
+    )
+
+    rng = random.Random(99)
+    sigs = [b"", b"\x89PNG\r\n\x1a\n", b"RIFF", b"\xff\xd8"]
+    for trial in range(300):
+        blob = rng.choice(sigs) + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        for fn, err in ((decode_png, PngError), (decode_wav, WavError),
+                        (jpeg_dimensions, JpegError)):
+            try:
+                fn(blob)
+            except err:
+                pass  # typed rejection is the contract
+
+
+def test_png_bomb_guards():
+    import struct
+    import zlib
+
+    from crystal_html5_spark.sparkjob.pngcodec import (
+        PngError,
+        _chunk,
+        decode_png,
+    )
+
+    # Lying header: claims 2^30 pixels.
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 0, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(PngError):
+        decode_png(bomb)
+
+    # IDAT inflating past the header-implied size.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    fat = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 100000))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(PngError):
+        decode_png(fat)
