@@ -1165,8 +1165,10 @@ def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
     """The full Common-Crawl flow in one plan: parse+extract (Arrow UDF)
     -> minhash near-dup grouping over the EXTRACTED main text (built-in
     SQL, no second UDF).  Groups of pages whose extracted content
-    collides on all four 3-shingle minhash signatures."""
-    out = run_extract(spark, _pages(spark, sf_dir))
+    collides on all four 3-shingle minhash signatures.  Pinned to the
+    fixed 500-page fixture; oracle = frozen parquet from the in-process
+    engine (scripts/freeze_expected.py near_dup_rows)."""
+    out = run_extract(spark, _pages_fixed(spark))
     out.select("url", "main_text").createOrReplaceTempView("_extracted")
     # Shingles/signatures entirely in array expressions (the _mh_core_ctes
     # shape): map-side, zero explode, zero window.  The r2 version's
@@ -1209,8 +1211,10 @@ def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
 
 def _extract_lang_stats(spark, sf_dir: str) -> DataFrame:
     """Pipeline-level agg: extraction joined back to page lang, per-lang
-    byte totals (exercises join + agg over the UDF output)."""
-    pages = _pages(spark, sf_dir)
+    byte totals (exercises join + agg over the UDF output).  Pinned to
+    the fixed 500-page fixture; oracle = frozen parquet from the
+    in-process engine (scripts/freeze_expected.py lang_stats_rows)."""
+    pages = _pages_fixed(spark)
     out = run_extract(spark, pages)
     joined = out.join(pages.select("url", "lang").distinct(), "url")
     return (
@@ -1322,6 +1326,17 @@ ORACLES: dict = {
         f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"
         " ORDER BY url"
     ),
-    # extract_lang_stats, extract_near_dups, media_features:
-    # non-SQL-expressible -> rows-only.
+    "extract_lang_stats": (
+        "SELECT lang, n_pages, sum_text_bytes, sum_nodes"
+        " FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_lang_stats_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY lang"
+    ),
+    "extract_near_dups": (
+        "SELECT fullsig, keep_url, n_pages FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_near_dups_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY fullsig"
+    ),
+    # media_features: decode features are not SQL-expressible ->
+    # rows-only (deterministic-checked).
 }

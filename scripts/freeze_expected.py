@@ -82,6 +82,55 @@ def extract_pages_rows(rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def lang_stats_rows(rows: list[tuple]) -> list[tuple]:
+    """Latest-capture dedup + extract + per-lang agg, shaped like the
+    extract_lang_stats driver query (lang, n_pages, sum_text_bytes,
+    sum_nodes)."""
+    from crystal_html5_spark.html5x.extract import extract_document
+
+    latest: dict = {}
+    lang_of: dict = {}
+    for url, ts, html, _text, lang in rows:
+        lang_of[url] = lang
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html)
+    agg: dict = {}
+    for url, (_ts, html) in latest.items():
+        r = extract_document(html or b"")
+        lang = lang_of[url]
+        n, tb, nn = agg.get(lang, (0, 0, 0))
+        agg[lang] = (n + 1, tb + len(r["text"]), nn + r["n_nodes"])
+    return [(lang, *agg[lang]) for lang in sorted(agg)]
+
+
+def near_dup_rows(rows: list[tuple]) -> list[tuple]:
+    """Latest-capture dedup + extract + 3-shingle 4-sig minhash groups,
+    shaped like extract_near_dups (fullsig, keep_url, n_pages)."""
+    import hashlib
+
+    from crystal_html5_spark.html5x.extract import extract_document
+
+    latest: dict = {}
+    for url, ts, html, _text, _lang in rows:
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html)
+    groups: dict = {}
+    for url in sorted(latest):
+        _ts, html = latest[url]
+        ws = extract_document(html or b"")["main_text"].split()
+        if len(ws) < 3:
+            continue
+        sh = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        full = "".join(
+            min(hashlib.md5((s + f"#{k}").encode()).hexdigest()
+                for s in sh)
+            for k in (1, 2, 3, 4)
+        )
+        groups.setdefault(full, []).append(url)
+    return sorted((f, min(us), len(us))
+                  for f, us in groups.items() if len(us) > 1)
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -145,8 +194,26 @@ def main() -> None:
         "err": pa.array([r[4] for r in ext], pa.string()),
     })
     pq.write_table(et, OUT_DIR / f"extract_pages_{N_PAGES}.parquet")
-    print(f"wrote {len(links)} link/title/xpath rows and {len(ext)} "
-          f"extract rows to {OUT_DIR}")
+
+    ls = lang_stats_rows(rows)
+    lst = pa.table({
+        "lang": pa.array([r[0] for r in ls], pa.string()),
+        "n_pages": pa.array([r[1] for r in ls], pa.int64()),
+        "sum_text_bytes": pa.array([r[2] for r in ls], pa.int64()),
+        "sum_nodes": pa.array([r[3] for r in ls], pa.int64()),
+    })
+    pq.write_table(lst, OUT_DIR / f"extract_lang_stats_{N_PAGES}.parquet")
+
+    nd = near_dup_rows(rows)
+    ndt = pa.table({
+        "fullsig": pa.array([r[0] for r in nd], pa.string()),
+        "keep_url": pa.array([r[1] for r in nd], pa.string()),
+        "n_pages": pa.array([r[2] for r in nd], pa.int64()),
+    })
+    pq.write_table(ndt, OUT_DIR / f"extract_near_dups_{N_PAGES}.parquet")
+    print(f"wrote {len(links)} link/title/xpath rows, {len(ext)} extract"
+          f" rows, {len(ls)} lang rows, {len(nd)} near-dup groups to"
+          f" {OUT_DIR}")
 
 
 if __name__ == "__main__":

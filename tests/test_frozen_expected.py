@@ -164,3 +164,19 @@ def test_frozen_titles_links_fresh(rows):
         except Exception:  # noqa: BLE001
             t = None
         assert titles[i]["title"] == t
+
+
+def test_frozen_lang_stats_fresh(rows, freeze):
+    frozen = pq.read_table(
+        EXPECTED / f"extract_lang_stats_{N}.parquet").to_pylist()
+    got = freeze.lang_stats_rows(rows)
+    assert [(r["lang"], r["n_pages"], r["sum_text_bytes"],
+             r["sum_nodes"]) for r in frozen] == got
+
+
+def test_frozen_near_dups_fresh(rows, freeze):
+    frozen = pq.read_table(
+        EXPECTED / f"extract_near_dups_{N}.parquet").to_pylist()
+    got = freeze.near_dup_rows(rows)
+    assert [(r["fullsig"], r["keep_url"], r["n_pages"])
+            for r in frozen] == got
