@@ -158,6 +158,8 @@ def main() -> None:
           lambda: Q.QUERIES["latest_event_per_user"](spark, sf_dir).count())
     timed("page_xpath_stats",
           lambda: Q.page_xpath_stats_scaled(spark, sf_dir).count())
+    timed("extract_near_dups",
+          lambda: Q.extract_near_dups_scaled(spark, sf_dir).count())
 
     extract_sec = timings["extract_pipeline"]
     result = {

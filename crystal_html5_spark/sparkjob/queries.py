@@ -1161,14 +1161,12 @@ def page_xpath_stats_scaled(spark, sf_dir: str) -> DataFrame:
     return xpath_stats_over(_pages(spark, sf_dir).select("url", "html"))
 
 
-def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
+def _near_dups_over(spark, pages) -> DataFrame:
     """The full Common-Crawl flow in one plan: parse+extract (Arrow UDF)
     -> minhash near-dup grouping over the EXTRACTED main text (built-in
     SQL, no second UDF).  Groups of pages whose extracted content
-    collides on all four 3-shingle minhash signatures.  Pinned to the
-    fixed 500-page fixture; oracle = frozen parquet from the in-process
-    engine (scripts/freeze_expected.py near_dup_rows)."""
-    out = run_extract(spark, _pages_fixed(spark))
+    collides on all four 3-shingle minhash signatures."""
+    out = run_extract(spark, pages)
     out.select("url", "main_text").createOrReplaceTempView("_extracted")
     # Shingles/signatures entirely in array expressions (the _mh_core_ctes
     # shape): map-side, zero explode, zero window.  The r2 version's
@@ -1178,7 +1176,21 @@ def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
     # BY.  The >=3-token guard filters on the plain regexp at the lowest
     # level (a WHERE on the derived array column would be substituted
     # into an interpreted per-row predicate — round-2 lesson).
-    return spark.sql("""
+    # ONE md5 per shingle, then 4 integer universal-hash permutations
+    # (the _mh_core_ctes scheme) — the earlier form hashed every shingle
+    # four times (md5(s+'#k')), which dominated the sf-scaled bench.
+    digits = " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr(m, {i + 1}, 1))"
+        f" AS BIGINT) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+    perms = _mh_perm_consts()[:4]
+    mins = ",\n                 ".join(
+        f"array_min(transform(hq, h -> ({a} * h + {b}) % {_MH_PRIME}))"
+        f" AS m{k + 1}"
+        for k, (a, b) in enumerate(perms)
+    )
+    return spark.sql(f"""
         WITH toks AS (
           SELECT url, regexp_extract_all(main_text, '\\\\S+', 0) AS ws
           FROM _extracted
@@ -1188,25 +1200,36 @@ def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
                  transform(sequence(0, size(ws) - 3), i ->
                    concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) AS shingles
           FROM toks
+        ), hq AS (
+          SELECT url,
+                 transform(transform(shingles, s -> md5(s)),
+                           m -> (({digits}) % {_MH_PRIME})) AS hq
+          FROM sh
         ), sigs AS (
           SELECT url,
-                 array_min(transform(shingles,
-                   s -> md5(concat(s, '#1')))) AS sig1,
-                 array_min(transform(shingles,
-                   s -> md5(concat(s, '#2')))) AS sig2,
-                 array_min(transform(shingles,
-                   s -> md5(concat(s, '#3')))) AS sig3,
-                 array_min(transform(shingles,
-                   s -> md5(concat(s, '#4')))) AS sig4
-          FROM sh
+                 {mins}
+          FROM hq
         )
-        SELECT concat(sig1, sig2, sig3, sig4) AS fullsig,
+        SELECT concat_ws('-', m1, m2, m3, m4) AS fullsig,
                MIN(url) AS keep_url, COUNT(*) AS n_pages
         FROM sigs
-        GROUP BY concat(sig1, sig2, sig3, sig4)
+        GROUP BY concat_ws('-', m1, m2, m3, m4)
         HAVING COUNT(*) > 1
         ORDER BY fullsig
     """)
+
+
+def _extract_near_dups(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract variant: pinned to the fixed 500-page fixture;
+    oracle = frozen parquet from the in-process engine
+    (scripts/freeze_expected.py near_dup_rows)."""
+    return _near_dups_over(spark, _pages_fixed(spark))
+
+
+def extract_near_dups_scaled(spark, sf_dir: str) -> DataFrame:
+    """Bench-only variant over the sf-scaled pages table: the one-plan
+    parse+extract+minhash flow at throughput scale."""
+    return _near_dups_over(spark, _pages(spark, sf_dir))
 
 
 def _extract_lang_stats(spark, sf_dir: str) -> DataFrame:

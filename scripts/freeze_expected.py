@@ -104,12 +104,19 @@ def lang_stats_rows(rows: list[tuple]) -> list[tuple]:
 
 
 def near_dup_rows(rows: list[tuple]) -> list[tuple]:
-    """Latest-capture dedup + extract + 3-shingle 4-sig minhash groups,
-    shaped like extract_near_dups (fullsig, keep_url, n_pages)."""
+    """Latest-capture dedup + extract + 3-shingle minhash groups, shaped
+    like extract_near_dups (fullsig, keep_url, n_pages).  Signature
+    scheme matches the query: ONE md5 per shingle (value of the first 8
+    hex digits), then 4 integer universal-hash permutations."""
     import hashlib
 
     from crystal_html5_spark.html5x.extract import extract_document
+    from crystal_html5_spark.sparkjob.queries import (
+        _MH_PRIME,
+        _mh_perm_consts,
+    )
 
+    perms = _mh_perm_consts()[:4]
     latest: dict = {}
     for url, ts, html, _text, _lang in rows:
         if url not in latest or ts > latest[url][0]:
@@ -120,12 +127,11 @@ def near_dup_rows(rows: list[tuple]) -> list[tuple]:
         ws = extract_document(html or b"")["main_text"].split()
         if len(ws) < 3:
             continue
-        sh = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
-        full = "".join(
-            min(hashlib.md5((s + f"#{k}").encode()).hexdigest()
-                for s in sh)
-            for k in (1, 2, 3, 4)
-        )
+        hs = [int(hashlib.md5(" ".join(ws[i:i + 3]).encode())
+                  .hexdigest()[:8], 16) % _MH_PRIME
+              for i in range(len(ws) - 2)]
+        full = "-".join(str(min((a * h + b) % _MH_PRIME for h in hs))
+                        for a, b in perms)
         groups.setdefault(full, []).append(url)
     return sorted((f, min(us), len(us))
                   for f, us in groups.items() if len(us) > 1)
