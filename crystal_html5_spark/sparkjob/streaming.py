@@ -131,16 +131,35 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
 
 def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
                  checkpoint_dir: str, available_now: bool = True,
-                 max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES):
-    """Start (or resume, via the checkpoint) the extraction stream."""
+                 max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES,
+                 idempotent_sink: bool = False):
+    """Start (or resume, via the checkpoint) the extraction stream.
+
+    Default sink: Spark's transactional file sink (exactly-once per
+    checkpoint).  With ``idempotent_sink`` each micro-batch instead
+    routes through the same io seam as the batch job (foreachBatch ->
+    ``io.write_extracted``): Iceberg MERGE INTO when available, parquet
+    key anti-join otherwise — so a REPLAYED micro-batch (checkpoint
+    deleted, at-least-once upstream) still cannot write duplicate
+    (url, warc_ts) rows, which the plain file sink does not guarantee
+    across checkpoint resets."""
     out = stream_extract(stream_pages(spark, input_dir),
                          max_doc_bytes=max_doc_bytes)
-    writer = (
-        out.withColumn("batch_ts", F.current_timestamp())
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    if idempotent_sink:
+        from . import io as tableio
+
+        def sink(batch_df, _batch_id: int) -> None:
+            tableio.write_extracted(spark, batch_df, output_dir)
+
+        writer = out.writeStream.foreachBatch(sink) \
+            .option("checkpointLocation", checkpoint_dir)
+    else:
+        writer = (
+            out.withColumn("batch_ts", F.current_timestamp())
+            .writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

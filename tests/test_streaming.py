@@ -128,3 +128,37 @@ def test_stateful_sessionization(spark, tmp_path_factory):
         for r in got
     }
     assert got_set == expect_closed
+
+
+def test_stream_idempotent_sink_survives_checkpoint_reset(
+        spark, tmp_path_factory):
+    """With idempotent_sink the micro-batch routes through the io seam:
+    deleting the checkpoint and re-running (an at-least-once replay, the
+    worst case for the plain file sink) writes zero duplicate keys."""
+    import shutil
+
+    base = tmp_path_factory.mktemp("stream_idem")
+    input_dir = base / "in"
+    output_dir = str(base / "out")
+    checkpoint = str(base / "cp")
+
+    rows = synth_rows(60)
+    _write_chunk(rows, input_dir, "batch0.parquet")
+
+    q = start_stream(spark, str(input_dir), output_dir, checkpoint,
+                     idempotent_sink=True)
+    q.awaitTermination(120)
+    ext = spark.read.parquet(f"{output_dir}/extracted")
+    n1 = ext.count()
+    assert n1 == len({(u, t) for u, t, *_ in rows})
+
+    # Nuke the checkpoint: the stream replays everything; the sink's key
+    # anti-join must drop every already-written row.
+    shutil.rmtree(checkpoint)
+    q2 = start_stream(spark, str(input_dir), output_dir, checkpoint,
+                      idempotent_sink=True)
+    q2.awaitTermination(120)
+    after = spark.read.parquet(f"{output_dir}/extracted")
+    assert after.count() == n1
+    keys = after.select("url", "warc_ts").collect()
+    assert len(keys) == len({(r["url"], r["warc_ts"]) for r in keys})
