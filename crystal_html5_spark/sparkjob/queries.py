@@ -1251,6 +1251,68 @@ def _extract_lang_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_PAGE_CHARS = 2000
+
+
+def _pdf_text_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """PDF/layout parse (north_rule): every document's text is paginated
+    into a spec-valid PDF and re-extracted by the from-scratch parser
+    (sparkjob/pdfcodec.py), all inside one Arrow pass.
+
+    The oracle is a TRUE independent check: DuckDB computes the expected
+    page count and text md5 straight from the documents table and never
+    sees a PDF byte — a writer/parser bug on the Spark side cannot
+    cancel out."""
+    docs = tableio.read_table(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def roundtrip(iterator):
+        import hashlib
+
+        import pyarrow as pa
+
+        from .pdfcodec import PdfError, encode_simple_pdf, \
+            extract_pdf_text
+
+        k = _PDF_PAGE_CHARS
+        for batch in iterator:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            n_pages, md5s = [], []
+            for t in texts:
+                t = t or ""
+                chunks = [t[i:i + k]
+                          for i in range(0, max(len(t), 1), k)]
+                try:
+                    out = extract_pdf_text(encode_simple_pdf(chunks))
+                    n_pages.append(len(out))
+                    md5s.append(hashlib.md5(
+                        "".join(out).encode("utf-8")).hexdigest())
+                except PdfError:  # pragma: no cover — writer is valid
+                    n_pages.append(-1)
+                    md5s.append("")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array(n_pages, pa.int64()),
+                 pa.array(md5s, pa.string())],
+                names=["doc_id", "n_pdf_pages", "text_md5"],
+            )
+
+    return docs.mapInArrow(
+        roundtrip, "doc_id bigint, n_pdf_pages bigint, text_md5 string"
+    ).orderBy("doc_id")
+
+
+_PDF_ROUNDTRIP_ORACLE = f"""
+SELECT doc_id,
+       GREATEST(CAST(CEIL(length(text) / {_PDF_PAGE_CHARS}.0) AS BIGINT),
+                1) AS n_pdf_pages,
+       md5(text) AS text_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # ------------------------------ registry ---------------------------------
 
 QUERIES: dict = {
@@ -1291,6 +1353,7 @@ QUERIES: dict = {
     "page_titles": _page_titles,
     "page_xpath_stats": _page_xpath_stats,
     "extract_lang_stats": _extract_lang_stats,
+    "pdf_text_roundtrip": _pdf_text_roundtrip,
     "extract_near_dups": _extract_near_dups,
 }
 
@@ -1349,6 +1412,7 @@ ORACLES: dict = {
         f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"
         " ORDER BY url"
     ),
+    "pdf_text_roundtrip": _PDF_ROUNDTRIP_ORACLE,
     "extract_lang_stats": (
         "SELECT lang, n_pages, sum_text_bytes, sum_nodes"
         " FROM read_parquet('"
