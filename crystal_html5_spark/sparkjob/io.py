@@ -43,8 +43,22 @@ def iceberg_available(spark) -> bool:
 
 
 def is_table_identifier(source: str) -> bool:
-    """Catalog table identifier (``cat.db.pages``) vs filesystem path."""
-    return "/" not in source and not source.endswith(".parquet")
+    """Qualified catalog identifier (``cat.db.pages``) vs filesystem
+    path.  Only dotted, slash-free names qualify: a bare relative dir
+    like ``out`` is a path, so single-part names never reach the
+    catalog branch (they would crash ``spark.read.table`` on a plain
+    filesystem dest)."""
+    return ("/" not in source and "." in source
+            and not source.endswith(".parquet"))
+
+
+def use_catalog(spark, source: str) -> bool:
+    """Single gate for EVERY catalog-path branch in this module: the
+    name must be a qualified identifier AND the Iceberg runtime must
+    actually be on the classpath — otherwise everything (reads, done
+    keys, sinks, metrics) falls back to the parquet layout together,
+    so no half-catalog state is possible."""
+    return is_table_identifier(source) and iceberg_available(spark)
 
 
 def read_table(spark, source: str) -> DataFrame:
@@ -52,7 +66,7 @@ def read_table(spark, source: str) -> DataFrame:
     (Iceberg partition pruning, snapshot isolation, metadata-only column
     stats), paths through the parquet reader (column pruning + predicate
     pushdown still apply — both arrive via DataSource V2)."""
-    if is_table_identifier(source):
+    if use_catalog(spark, source):
         return spark.read.table(source)
     return spark.read.parquet(source)
 
@@ -76,7 +90,7 @@ def merge_into_sql(dest: str, view: str,
 def read_done_keys(spark, dest: str) -> DataFrame | None:
     """Keys already durable at the sink (high-water mark for resume)."""
     try:
-        if is_table_identifier(dest):
+        if use_catalog(spark, dest):
             done = spark.read.table(dest)
         else:
             done = spark.read.parquet(f"{dest}/extracted")
@@ -94,8 +108,16 @@ def write_extracted(spark, extracted: DataFrame, dest: str) -> None:
     keys already on disk, then append — a retried batch writes zero rows.
     The anti-join reads only the two key columns (column-pruned scan),
     and AQE picks broadcast while the done-set is small.
+
+    The session is derived from the frame itself when possible:
+    Structured Streaming's foreachBatch hands a DataFrame bound to a
+    per-micro-batch CLONED session, and the MERGE temp view is only
+    visible to ``spark.sql`` on that same clone — using a captured
+    outer-driver session here would fail every micro-batch once
+    Iceberg is present.
     """
-    if is_table_identifier(dest) and iceberg_available(spark):
+    spark = getattr(extracted, "sparkSession", None) or spark
+    if use_catalog(spark, dest):
         if not spark.catalog.tableExists(dest):
             extracted.writeTo(dest).create()
             return
@@ -115,7 +137,7 @@ def write_metrics(metrics: DataFrame, dest: str) -> None:
     """Per-batch lineage/metrics side table (append-only by design:
     each batch's row is a lineage fact, not state)."""
     stamped = metrics.withColumn("batch_ts", F.current_timestamp())
-    if is_table_identifier(dest):
+    if use_catalog(metrics.sparkSession, dest):
         stamped.writeTo(f"{dest}_metrics").append()
         return
     stamped.write.mode("append").parquet(f"{dest}/metrics")

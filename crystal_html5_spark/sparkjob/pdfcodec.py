@@ -89,6 +89,9 @@ def encode_simple_pdf(pages: list[str]) -> bytes:
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n", re.S)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
@@ -227,26 +230,66 @@ def _text_from_content(content: bytes) -> bytes:
     return bytes(out)
 
 
+def _is_page_leaf(body: bytes) -> bool:
+    return (b"/Type" in body and b"/Page" in body
+            and b"/Pages" not in body and b"/Kids" not in body)
+
+
+def _pages_in_tree_order(objs: dict[int, bytes]) -> list[int]:
+    """Page-object numbers in true page-tree order: walk the catalog's
+    /Pages reference through /Kids arrays (intermediate /Pages nodes
+    recurse, depth-first, left-to-right — PDF 32000-1 §7.7.3 defines
+    page order as the in-order traversal of the tree).  Any /Page
+    object never reached from the tree (orphan) is appended afterwards
+    in ascending object-number order so no content is dropped."""
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen:  # cycle guard: hostile blob, not a task failure
+            return
+        seen.add(num)
+        body = objs.get(num)
+        if body is None:
+            return
+        km = _KIDS_RE.search(body)
+        if km is not None:  # intermediate /Pages node
+            for rm in _REF_RE.finditer(km.group(1)):
+                walk(int(rm.group(1)))
+        elif _is_page_leaf(body):
+            order.append(num)
+
+    for body in objs.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            pm = _PAGES_REF_RE.search(body)
+            if pm is not None:
+                walk(int(pm.group(1)))
+            break
+    orphans = sorted(num for num, body in objs.items()
+                     if num not in seen and _is_page_leaf(body))
+    return order + orphans
+
+
 def extract_pdf_text(data: bytes) -> list[str]:
-    """Text per page, in page-tree order."""
+    """Text per page, in page-tree (/Kids) order — object numbering is
+    NOT assumed to match tree order."""
     if not data.startswith(b"%PDF-"):
         raise PdfError("missing %PDF header")
     objs = _object_map(data)
-    pages: list[tuple[int, bytes]] = []
-    for num, body in objs.items():
-        if b"/Type" in body and b"/Page" in body and b"/Pages" not in body:
-            cm = _CONTENTS_RE.search(body)
-            if cm is None:
-                pages.append((num, b""))
-                continue
-            cobj = objs.get(int(cm.group(1)))
-            if cobj is None:
-                raise PdfError("dangling /Contents reference")
-            stream = _stream_of(cobj, objs)
-            if stream is None:
-                raise PdfError("contents object has no stream")
-            pages.append((num, _text_from_content(stream)))
+    pages: list[bytes] = []
+    for num in _pages_in_tree_order(objs):
+        body = objs[num]
+        cm = _CONTENTS_RE.search(body)
+        if cm is None:
+            pages.append(b"")
+            continue
+        cobj = objs.get(int(cm.group(1)))
+        if cobj is None:
+            raise PdfError("dangling /Contents reference")
+        stream = _stream_of(cobj, objs)
+        if stream is None:
+            raise PdfError("contents object has no stream")
+        pages.append(_text_from_content(stream))
     if not pages:
         raise PdfError("no /Page objects")
-    pages.sort(key=lambda p: p[0])  # writer emits pages in order
-    return [t.decode("utf-8", "replace") for _num, t in pages]
+    return [t.decode("utf-8", "replace") for t in pages]

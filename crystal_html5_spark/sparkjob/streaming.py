@@ -149,7 +149,15 @@ def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
         from . import io as tableio
 
         def sink(batch_df, _batch_id: int) -> None:
-            tableio.write_extracted(spark, batch_df, output_dir)
+            # foreachBatch hands a frame bound to a per-batch CLONED
+            # session; write_extracted derives its session from the
+            # frame so the Iceberg MERGE's temp view and the sql run
+            # on the same clone.  batch_ts is stamped here so both
+            # sink variants write the same schema.
+            tableio.write_extracted(
+                batch_df.sparkSession,
+                batch_df.withColumn("batch_ts", F.current_timestamp()),
+                output_dir)
 
         writer = out.writeStream.foreachBatch(sink) \
             .option("checkpointLocation", checkpoint_dir)

@@ -122,9 +122,17 @@ def near_dup_rows(rows: list[tuple]) -> list[tuple]:
         if url not in latest or ts > latest[url][0]:
             latest[url] = (ts, html)
     groups: dict = {}
+    import re
+
     for url in sorted(latest):
         _ts, html = latest[url]
-        ws = extract_document(html or b"")["main_text"].split()
+        # ASCII-explicit tokenization: the Spark query splits with Java's
+        # regexp_extract_all(main_text, '\\S+') whose default \s is the
+        # ASCII class, while Python str.split() splits on Unicode
+        # whitespace (U+00A0 from &nbsp; etc.) — re.ASCII makes both
+        # sides identical for any main_text.
+        ws = re.findall(r"\S+", extract_document(html or b"")["main_text"],
+                        re.ASCII)
         if len(ws) < 3:
             continue
         hs = [int(hashlib.md5(" ".join(ws[i:i + 3]).encode())

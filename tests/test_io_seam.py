@@ -26,10 +26,15 @@ def spark():
 
 def test_is_table_identifier():
     assert tableio.is_table_identifier("iceberg.crawl.pages")
-    assert tableio.is_table_identifier("pages")
+    assert tableio.is_table_identifier("db.pages")
+    # Bare relative names are PATHS: a plain-filesystem dest like "out"
+    # must never reach spark.read.table / writeTo.
+    assert not tableio.is_table_identifier("pages")
+    assert not tableio.is_table_identifier("out")
     assert not tableio.is_table_identifier("/data/pages.parquet")
     assert not tableio.is_table_identifier("build/pages.parquet")
     assert not tableio.is_table_identifier("rel/path/dir")
+    assert not tableio.is_table_identifier("pages.parquet")
 
 
 def test_merge_into_sql():
@@ -68,12 +73,23 @@ class _Recorder:
         self.calls.append(("sql", q))
 
 
-def test_read_table_dispatch():
+def test_read_table_dispatch(monkeypatch):
+    monkeypatch.setattr(tableio, "iceberg_available", lambda _s: True)
     rec = _Recorder()
     assert tableio.read_table(rec, "cat.db.pages") == "TABLE_DF"
     assert tableio.read_table(rec, "/tmp/x.parquet") == "PARQUET_DF"
     assert rec.calls == [("table", "cat.db.pages"),
                          ("parquet", "/tmp/x.parquet")]
+
+
+def test_catalog_branch_needs_iceberg(monkeypatch):
+    """Without the Iceberg runtime, even a qualified identifier falls
+    back to the parquet layout — all branches gate on use_catalog so
+    no read/sink pair can split across backends."""
+    monkeypatch.setattr(tableio, "iceberg_available", lambda _s: False)
+    rec = _Recorder()
+    assert tableio.read_table(rec, "cat.db.pages") == "PARQUET_DF"
+    assert rec.calls == [("parquet", "cat.db.pages")]
 
 
 def test_iceberg_absent_in_this_container(spark):
@@ -86,14 +102,21 @@ def test_write_extracted_merge_branch(monkeypatch):
     """With Iceberg present and a table-identifier dest, the sink is one
     MERGE INTO keyed on (url, warc_ts)."""
     monkeypatch.setattr(tableio, "iceberg_available", lambda _s: True)
-    rec = _Recorder(table_exists=True)
+    outer = _Recorder(table_exists=True)   # driver session (foreachBatch)
+    batch = _Recorder(table_exists=True)   # per-micro-batch cloned session
 
     class _FakeDF:
-        def createOrReplaceTempView(self, name):
-            rec.calls.append(("view", name))
+        sparkSession = batch  # frames carry their own (cloned) session
 
-    tableio.write_extracted(rec, _FakeDF(), "cat.db.extracted")
-    assert rec.calls == [
+        def createOrReplaceTempView(self, name):
+            batch.calls.append(("view", name))
+
+    tableio.write_extracted(outer, _FakeDF(), "cat.db.extracted")
+    # The temp view and the MERGE must both run on the FRAME's session
+    # (foreachBatch clone), never the captured outer session, or the
+    # view is invisible to the sql.
+    assert outer.calls == []
+    assert batch.calls == [
         ("view", "_incoming_extracted"),
         ("sql", tableio.merge_into_sql("cat.db.extracted",
                                        "_incoming_extracted")),
