@@ -260,3 +260,52 @@ def media_features_query(spark, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f1"),
         F.round(F.element_at("feature", 2), 6).alias("f2"),
     ).orderBy("doc_id")
+
+
+def media_meta_query(spark, sf_dir: str) -> DataFrame:
+    """Metadata slice of the multimodal path, with a REAL cross-engine
+    oracle: Spark synthesizes the blobs and runs the actual decoders
+    (PNG pixels, WAV PCM, JPEG SOF header), while DuckDB recomputes the
+    expected decoder/width/height/sample_rate/n_samples straight from
+    the synth parameters (doc_id arithmetic + md5 hex for the fake
+    path) — it never sees a media byte, so a codec dimension/rate bug
+    cannot cancel out.  The feature vectors stay in media_features
+    (rows-only: pixel/sample content is not SQL-expressible)."""
+    out = extract_media_features(synth_media(spark, sf_dir))
+    return out.select("doc_id", "decoder", "width", "height",
+                      "sample_rate", "n_samples").orderBy("doc_id")
+
+
+# DuckDB side of media_meta_query.  Mirrors synth_media's parameters:
+# doc_id%4 -> png(4+id%13 x 3+id%11) / wav(8000+(id%3)*4000 Hz,
+# 256+id%500 samples) / jpeg-header(16+id%31 x 9+id%17) / fake
+# (1+first, 1+last byte of md5(str(id)).digest()*64 — i.e. digest
+# bytes 0 and 15, extracted from the hex with strpos arithmetic).
+MEDIA_META_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+    md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), d AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS first_byte,
+    (strpos('0123456789abcdef', substr(hx, 31, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 32, 1)) - 1) AS last_byte
+  FROM b
+)
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+       WHEN 2 THEN 'jpeg-header' ELSE 'fake' END AS decoder,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 13
+       WHEN 2 THEN 16 + doc_id % 31
+       WHEN 3 THEN 1 + first_byte ELSE 0 END AS INT) AS width,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 3 + doc_id % 11
+       WHEN 2 THEN 9 + doc_id % 17
+       WHEN 3 THEN 1 + last_byte ELSE 0 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 + (doc_id % 3) * 4000
+       ELSE 0 END AS INT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 4 = 1 THEN 256 + doc_id % 500
+       ELSE 0 END AS INT) AS n_samples
+FROM d ORDER BY doc_id
+"""

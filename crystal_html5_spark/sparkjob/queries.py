@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import io as tableio
 from .extract_job import run_extract
-from .multimodal import media_features_query as _media_features
+from .multimodal import (
+    MEDIA_META_ORACLE as _MEDIA_META_ORACLE,
+    media_features_query as _media_features,
+    media_meta_query as _media_meta,
+)
 from .pages import n_pages_for_sf, pages_parquet
 
 TABLES = (
@@ -1347,6 +1351,7 @@ QUERIES: dict = {
     "emb_near_dup_pairs": _emb_near_dup_pairs,
     # multimodal: binary media column -> Pandas-UDF feature extraction
     "media_features": _media_features,
+    "media_meta": _media_meta,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
     "extract_pages": _extract_pages,
     "page_links": _page_links,
@@ -1425,5 +1430,8 @@ ORACLES: dict = {
         " ORDER BY fullsig"
     ),
     # media_features: decode features are not SQL-expressible ->
-    # rows-only (deterministic-checked).
+    # rows-only (deterministic-checked).  Its metadata slice IS:
+    # media_meta's oracle recomputes decoder/dims/rate from the synth
+    # parameters without ever touching a media byte.
+    "media_meta": _MEDIA_META_ORACLE,
 }
