@@ -128,7 +128,7 @@ def test_ann_plans_scale_safe(spark):
     p3 = q["ann_ivf_topk"](spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in p3
-    assert "BroadcastNestedLoopJoin" in p3  # 16-centroid assignment
+    assert "BroadcastNestedLoopJoin" in p3  # k=√N centroid assignment
     p4 = q["emb_near_dup_pairs"](spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in p4
