@@ -135,15 +135,43 @@ def _unescape_entity(b: bytes, out: bytearray, src: int, attribute: bool) -> int
 import re as _re
 
 _RE_ENTREF = _re.compile(rb"&(?:#[0-9]+;|#[xX][0-9a-fA-F]+;|[0-9A-Za-z]+;)")
+_RE_ENTREF_CAP = _re.compile(rb"(&(?:#[0-9]+;|#[xX][0-9a-fA-F]+;|[0-9A-Za-z]+;))")
 _ENT_CACHES: tuple[dict, dict] = ({}, {})
 
 
 def unescape(b: bytes, attribute: bool) -> bytes:
-    """Decode all entities in ``b`` (escape.cr:193-212)."""
+    """Decode all entities in ``b`` (escape.cr:193-212).
+
+    Batch fast path: when every '&' heads a ;-terminated reference that
+    decodes exactly its own span (the overwhelmingly common shape), one
+    C-level split replaces the per-byte cursor loop.  Any other shape —
+    bare '&', legacy no-semicolon refs, longest-prefix splits like
+    "&notit;" — falls back to the reference-exact loop below."""
     amp = b.find(b"&")
     if amp == -1:
         return b
     cache = _ENT_CACHES[attribute]
+    parts = _RE_ENTREF_CAP.split(b)
+    # Every matched span holds exactly one '&', so "all '&'s head a
+    # matched reference" reduces to one C-level count.
+    if len(parts) > 1 and b.count(b"&") == len(parts) // 2:
+        out_l = parts  # reuse the list; odd slots get replaced
+        ok = True
+        for i in range(1, len(parts), 2):
+            p = parts[i]
+            rep = cache.get(p)
+            if rep is None:
+                tmp = bytearray()
+                end = _unescape_entity(p, tmp, 0, attribute)
+                if end != len(p):
+                    ok = False  # prefix-split shape: not span-local
+                    break
+                rep = bytes(tmp)
+                if len(cache) < 4096:
+                    cache[p] = rep
+            out_l[i] = rep
+        if ok:
+            return b"".join(out_l)
     out = bytearray(b[:amp])
     src = amp
     n = len(b)

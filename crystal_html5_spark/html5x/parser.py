@@ -278,6 +278,24 @@ class Parser:
 
     def index_of_element_in_scope(self, s: int, *match_tags: str) -> int:
         oe = self.oe
+        if s == DEFAULT_SCOPE:
+            # Specialized loop for the dominant scope kind: no per-frame
+            # scope-variant comparisons.  Semantics identical to the
+            # general loop below with s=0.
+            stop_empty = _STOP_TAGS_EMPTY_NS
+            for i in range(len(oe) - 1, -1, -1):
+                n = oe[i]
+                tag_atom = n.data_atom
+                if n.namespace == "":
+                    if tag_atom in match_tags:
+                        return i
+                    if tag_atom in stop_empty:
+                        return -1
+                else:
+                    stop = DEFAULT_SCOPE_STOP_TAGS.get(n.namespace)
+                    if stop and tag_atom in stop:
+                        return -1
+            return -1
         check_stop = s <= BUTTON_SCOPE  # DEFAULT/LIST_ITEM/BUTTON are 0,1,2
         # The "" namespace is ~100% of frames on real pages: resolve its
         # stop set once instead of a per-frame dict lookup.
@@ -406,26 +424,22 @@ class Parser:
         if not text:
             return
         if self.foster_parenting and self.should_foster_parent():
-            self.foster_parent(Node(type=TEXT_NODE, data=text))
+            self.foster_parent(Node(TEXT_NODE, "", text))
             return
         t = self.top()
         n = t.last_child
         if n is not None and n.type == TEXT_NODE:
             n.data += text
             return
-        self.add_child(Node(type=TEXT_NODE, data=text))
+        self.add_child(Node(TEXT_NODE, "", text))
 
     def add_element(self) -> None:
         # The token's Attribute objects transfer to the element without
         # cloning: each Token is materialized fresh per tokenizer token and
         # creates at most one element, so ownership is exclusive (the
         # reference clones because its Token is a reused struct).
-        self.add_child(Node(
-            type=ELEMENT_NODE,
-            data_atom=self.token.data_atom,
-            data=self.token.data,
-            attr=self.token.attr,
-        ))
+        t = self.token
+        self.add_child(Node(ELEMENT_NODE, t.data_atom, t.data, "", t.attr))
 
     # -- active formatting elements (parser.cr:312-375) -----------------------
 
@@ -794,7 +808,7 @@ class Parser:
             if t.data == "":
                 return True
         elif t.type == tk.COMMENT:
-            self.doc.append_child(Node(type=COMMENT_NODE, data=t.data))
+            self.doc.append_child(Node(COMMENT_NODE, "", t.data))
             return True
         elif t.type == tk.DOCTYPE:
             n, quirks = parse_doctype(t.data)
@@ -825,7 +839,7 @@ class Parser:
                 return False
             return True
         elif t.type == tk.COMMENT:
-            self.doc.append_child(Node(type=COMMENT_NODE, data=t.data))
+            self.doc.append_child(Node(COMMENT_NODE, "", t.data))
             return True
         self.parse_implied_token(tk.START_TAG, "html", "html")
         return False
@@ -850,7 +864,7 @@ class Parser:
                 return False
             return True
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
             return True
         elif t.type == tk.DOCTYPE:
             return True
@@ -929,7 +943,7 @@ class Parser:
                 return True
             return True
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
             return True
         elif t.type == tk.DOCTYPE:
             return True
@@ -1008,7 +1022,7 @@ class Parser:
             else:
                 return True
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
             return True
         elif t.type == tk.DOCTYPE:
             return True
@@ -1053,7 +1067,7 @@ class Parser:
                 return True
             return h(self)
         if tt == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
         elif tt == tk.ERROR:
             # Reference divergence (insertion_mode.cr:629-643).
             if self.template_stack:
@@ -1163,7 +1177,7 @@ class Parser:
             if a == "template":
                 return self.in_head_im()
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
             return True
         elif t.type == tk.DOCTYPE:
             return True
@@ -1221,7 +1235,7 @@ class Parser:
                     return True
                 t.data = s
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
             return True
         elif t.type == tk.DOCTYPE:
             return True
@@ -1289,7 +1303,7 @@ class Parser:
                      "th", "tr"):
                 return True
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
             return True
         return self.in_table_im()
 
@@ -1419,7 +1433,7 @@ class Parser:
             elif a == "template":
                 return self.in_head_im()
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
         elif t.type == tk.DOCTYPE:
             return True
         elif t.type == tk.ERROR:
@@ -1522,7 +1536,7 @@ class Parser:
                     "bad parser state: <html> element not found, in the"
                     " after-body insertion mode"
                 )
-            self.oe[0].append_child(Node(type=COMMENT_NODE, data=t.data))
+            self.oe[0].append_child(Node(COMMENT_NODE, "", t.data))
             return True
         self.im = self.in_body_im
         return False
@@ -1530,7 +1544,7 @@ class Parser:
     def in_frameset_im(self) -> bool:
         t = self.token
         if t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
         elif t.type == tk.TEXT:
             # Ignore all text but whitespace.
             s = "".join(c for c in t.data if c in " \t\n\f\r")
@@ -1560,7 +1574,7 @@ class Parser:
     def after_frameset_im(self) -> bool:
         t = self.token
         if t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
         elif t.type == tk.TEXT:
             s = "".join(c for c in t.data if c in " \t\n\f\r")
             if s:
@@ -1588,7 +1602,7 @@ class Parser:
             if t.data_atom == "html":
                 return self.in_body_im()
         elif t.type == tk.COMMENT:
-            self.doc.append_child(Node(type=COMMENT_NODE, data=t.data))
+            self.doc.append_child(Node(COMMENT_NODE, "", t.data))
             return True
         elif t.type == tk.DOCTYPE:
             return self.in_body_im()
@@ -1598,7 +1612,7 @@ class Parser:
     def after_after_frameset_im(self) -> bool:
         t = self.token
         if t.type == tk.COMMENT:
-            self.doc.append_child(Node(type=COMMENT_NODE, data=t.data))
+            self.doc.append_child(Node(COMMENT_NODE, "", t.data))
         elif t.type == tk.TEXT:
             s = "".join(c for c in t.data if c in " \t\n\f\r")
             if s:
@@ -1625,7 +1639,7 @@ class Parser:
             t.data = t.data.replace("\x00", "�")
             self.add_text(t.data)
         elif t.type == tk.COMMENT:
-            self.add_child(Node(type=COMMENT_NODE, data=t.data))
+            self.add_child(Node(COMMENT_NODE, "", t.data))
         elif t.type == tk.START_TAG:
             if not self.fragment:
                 b = t.data in BREAKOUT

@@ -59,6 +59,16 @@ _RE_SIMPLE_TAG = re.compile(
 _RE_SIMPLE_ATTR = re.compile(
     rb"[ \n\r\t\f]+([^ \n\r\t\f/=>]+)(?:=(?:\"([^\"]*)\"|'([^']*)'))?"
 )
+# '<'-anchored variant of the master pattern: classifies (start/end/
+# self-closing) AND parses name+attrs in one C call for the fast scan
+# loop.  Same accept language as _RE_SIMPLE_TAG plus the leading '<'
+# and optional '/'; the '/' capture (group 4) is non-empty exactly when
+# the byte before '>' is '/', matching the state machine's check.
+_RE_FULL_TAG = re.compile(
+    rb"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
+    rb"((?:[ \n\r\t\f]+[^ \n\r\t\f/=>]+(?:=(?:\"[^\"]*\"|'[^']*'))?)*)"
+    rb"[ \n\r\t\f]*(/?)>"
+)
 _RE_COMMENT_INTEREST = re.compile(rb"[->!]")
 _RE_DASH_LT = re.compile(rb"[-<]")
 
@@ -68,6 +78,8 @@ _RAW_TEXT_TAGS = (
     "iframe", "noembed", "noframes", "noscript", "plaintext",
     "script", "style", "title", "textarea", "xmp",
 )
+_RAW_TAG_BYTES = frozenset(t.encode() for t in _RAW_TEXT_TAGS)
+_RAW_FIRST_BYTES = frozenset(t.encode()[0] for t in _RAW_TEXT_TAGS)
 
 
 class MaxBufferExceeded(Exception):
@@ -907,12 +919,59 @@ class Tokenizer:
             # method calls.  Byte-identical to the checked loop below.
             n = self.n
             pos = self.pos
+            raw_start = self.raw_start
             while True:
                 lt = buf.find(b"<", pos)
                 if lt == -1:
                     self.pos = n
                     self.eof = True
                     break
+                if raw_start == lt:
+                    # Fused whole-tag path: no pending text, so one
+                    # anchored regex classifies AND parses the tag
+                    # ('<' + optional '/' + name + attrs + optional '/'
+                    # + '>').  Misses (comments, bogus shapes, EOF
+                    # truncation, '<'+non-letter) fall through to the
+                    # byte-exact classification below.
+                    m = _RE_FULL_TAG.match(buf, lt)
+                    if m is not None:
+                        regs = m.regs
+                        ds, de = regs[2]
+                        self.data_start = ds
+                        self.data_end = de
+                        self.pos = m.end()
+                        self.n_attr_returned = 0
+                        if regs[1][0] != regs[1][1]:  # '</...'
+                            self.attr = []
+                            self.tt = END_TAG
+                            return END_TAG
+                        attr = self.attr = []
+                        a_start, a_end = regs[3]
+                        if a_start < a_end:
+                            append = attr.append
+                            for am in _RE_SIMPLE_ATTR.finditer(
+                                buf, a_start, a_end
+                            ):
+                                ar = am.regs
+                                ks, ke = ar[1]
+                                vs, ve = ar[2]
+                                if vs == -1:
+                                    vs, ve = ar[3]
+                                    if vs == -1:
+                                        vs = ve = ke
+                                append((ks, ke, vs, ve))
+                        c0 = buf[ds]
+                        if 0x41 <= c0 <= 0x5A:
+                            c0 += 32
+                        if c0 in _RAW_FIRST_BYTES:
+                            name = buf[ds:de].lower()
+                            if name in _RAW_TAG_BYTES:
+                                self.raw_tag = name.decode("latin-1")
+                        if regs[4][0] != regs[4][1]:  # '.../>'
+                            self.tt = SELF_CLOSING_TAG
+                        else:
+                            self.tt = START_TAG
+                        return self.tt
                 pos = lt + 1
                 if pos >= n:
                     self.pos = n
@@ -1094,12 +1153,32 @@ class Tokenizer:
             return self.token()
         t = reuse
         t.type = tt
-        if tt in (TEXT, COMMENT, DOCTYPE):
+        if tt == TEXT:
+            # Inline of text() + b2s for the hottest token kind (same
+            # steps, two fewer calls per token): \r normalization, NUL
+            # replacement (convert_nul), entity unescape (non-raw).
+            t.data_atom = ""
+            t.attr = _EMPTY_ATTRS
+            s = self.buf[self.data_start:self.data_end]
+            self.data_start = self.pos
+            self.data_end = self.pos
+            if b"\r" in s:
+                s = convert_new_lines(s)
+            if self.convert_nul and b"\x00" in s:
+                s = (
+                    s.decode("utf-8", "replace")
+                    .replace("\x00", "�")
+                    .encode("utf-8")
+                )
+            if not self.text_is_raw and b"&" in s:
+                s = unescape(s, False)
+            t.data = s.decode("utf-8", "surrogateescape")
+        elif 2 <= tt <= 4:  # START_TAG / END_TAG / SELF_CLOSING_TAG
+            self._fill_tag_token(t, tt)
+        elif tt == COMMENT or tt == DOCTYPE:
             t.data_atom = ""
             t.data = b2s(self.text() or b"")
             t.attr = _EMPTY_ATTRS
-        elif tt in (START_TAG, SELF_CLOSING_TAG, END_TAG):
-            self._fill_tag_token(t, tt)
         else:
             t.data_atom = ""
             t.data = ""
@@ -1108,10 +1187,9 @@ class Tokenizer:
 
     def _fill_tag_token(self, t: Token, tt: int) -> None:
         buf = self.buf
-        if self.data_start < self.data_end:
-            raw_name = buf[self.data_start:self.data_end]
-        else:
-            raw_name = b""
+        ds = self.data_start
+        de = self.data_end
+        raw_name = buf[ds:de] if ds < de else b""
         self.data_start = self.pos
         self.data_end = self.pos
         cached = _NAME_CACHE.get(raw_name)
@@ -1138,13 +1216,12 @@ class Tokenizer:
                 val = buf[vs:ve]
                 if (b"&" in val) or (b"\r" in val):
                     val = unescape(convert_new_lines(val), True)
-                append(Attribute("", key_s, b2s(val)))
+                append(Attribute("", key_s, val.decode(
+                    "utf-8", "surrogateescape")))
             self.n_attr_returned = len(self.attr)
             t.attr = attrs
         else:
             t.attr = []
-        self.data_start = self.pos
-        self.data_end = self.pos
 
     def token(self) -> Token:
         """Materialize the current token (token.cr:1018-1040).

@@ -14,23 +14,21 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from crystal_html5_spark.html5x import parse  # noqa: E402
-from crystal_html5_spark.html5x.extract import extract_text  # noqa: E402
+from crystal_html5_spark.html5x.extract import extract_document  # noqa: E402
 from crystal_html5_spark.sparkjob.pages import synth_rows  # noqa: E402
 
 
-def run(htmls: list[str]) -> int:
+def run(htmls: list[bytes]) -> int:
     total = 0
     for h in htmls:
-        doc = parse(h)
-        total += len(extract_text(doc))
+        total += len(extract_document(h)["main_text"])
     return total
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    htmls = [r[1] for r in synth_rows(n)]
+    htmls = [r[2] for r in synth_rows(n)]
     nbytes = sum(len(h) for h in htmls)
     run(htmls[:100])  # warm-up
 
