@@ -1,0 +1,403 @@
+"""Pure-stdlib+numpy baseline JPEG codec (grayscale subset).
+
+Implements the real thing — forward/inverse 8x8 DCT, quantization,
+zigzag, category/EXTEND coding and canonical Huffman entropy coding —
+for baseline sequential (SOF0) single-component images, per the public
+ITU-T T.81 spec (Annex F procedures, Annex K reference tables).  The
+decoder builds its Huffman tables and quantization tables from the
+stream's own DHT/DQT segments, so it decodes any conforming baseline
+grayscale JPEG, not just this module's output.
+
+Scope is honest: multi-component (color) and progressive (SOF2) streams
+raise ``JpegError`` and the caller's feature path falls back; the synth
+media pipeline only emits the supported subset.  Complements
+pngcodec.py (PNG) and wavcodec.py (WAV + JPEG header-only parse).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegCodecError(ValueError):
+    """Malformed or unsupported JPEG input."""
+
+
+# Guard against absurd dimension claims before allocating (same policy
+# as pngcodec's zip-bomb guard).
+_MAX_PIXELS = 16_000_000
+
+# Zigzag scan order (T.81 Figure 5), generated rather than typed:
+# diagonal s = row+col; even diagonals run bottom-left -> top-right.
+ZIGZAG = []
+for _s in range(15):
+    _rng = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (reversed(_rng) if _s % 2 == 0 else _rng):
+        ZIGZAG.append(_r * 8 + (_s - _r))
+ZIGZAG = tuple(ZIGZAG)
+_UNZIGZAG = tuple(ZIGZAG.index(i) for i in range(64))
+
+# Annex K.1 luminance quantization table (zigzag-natural row order).
+_K1_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+# Annex K.3 / K.5 luminance Huffman specs: (BITS[1..16], HUFFVAL).
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+# 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
+_DCT_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = (0.5 / np.sqrt(2)) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT_A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """K.1 scaled by the conventional libjpeg-style quality mapping."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_K1_QUANT * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing (F.1.2.3)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(pixels, quality: int = 92) -> bytes:
+    """Encode an HxW uint8 grayscale array as baseline sequential JPEG."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2 or px.size == 0:
+        raise JpegCodecError("encode_jpeg wants a non-empty HxW array")
+    h, w = px.shape
+    qt = _quant_table(quality)
+    qt_mat = qt.reshape(8, 8).astype(np.float64)
+    # Pad to 8x8 multiples by edge replication.
+    ph = (h + 7) & ~7
+    pw = (w + 7) & ~7
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge") \
+        .astype(np.float64) - 128.0
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    a = _DCT_A
+    zz = np.array(ZIGZAG)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8]
+            coef = a @ block @ a.T
+            q = np.round(coef / qt_mat).astype(np.int64).ravel()[zz]
+            # DC
+            diff = int(q[0]) - pred
+            pred = int(q[0])
+            cat = _category(diff)
+            code, length = dc_codes[cat]
+            bw.write(code, length)
+            if cat:
+                bits = diff if diff > 0 else diff + (1 << cat) - 1
+                bw.write(bits, cat)
+            # AC
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(q[1:])[0]
+            last_nz = int(nz[-1]) + 1 if nz.size else 0
+            for k in range(1, last_nz + 1):
+                v = int(q[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                cat = _category(v)
+                code, length = ac_codes[(run << 4) | cat]
+                bw.write(code, length)
+                bits = v if v > 0 else v + (1 << cat) - 1
+                bw.write(bits, cat)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(qt[z]) for z in ZIGZAG))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) \
+        + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops (raises) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise JpegCodecError("truncated entropy data")
+        b = d[p]
+        p += 1
+        if b == 0xFF:
+            if p >= len(d):
+                raise JpegCodecError("truncated after 0xFF")
+            m = d[p]
+            if m == 0x00:
+                p += 1
+            elif 0xD0 <= m <= 0xD7:  # RST — handled by caller via align
+                raise JpegCodecError("unexpected RST inside block")
+            else:
+                raise JpegCodecError("marker inside entropy data")
+        self.pos = p
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_huffman(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegCodecError("invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes):
+    """Decode baseline grayscale JPEG -> (width, height, pixels HxW u8).
+
+    Tables come from the stream's own DQT/DHT segments.  Raises
+    JpegCodecError for non-baseline, multi-component, or malformed
+    input."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise JpegCodecError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(data)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = -1
+    qt_id = 0
+    dc_id = ac_id = 0
+    scan_pos = -1
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegCodecError("marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (size,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + size]
+        if len(body) != size - 2:
+            raise JpegCodecError("truncated segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                cnt = 64 * (2 if pq else 1)
+                raw = body[bp:bp + cnt]
+                if len(raw) != cnt:
+                    raise JpegCodecError("short DQT")
+                vals = (np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                        if pq else
+                        np.frombuffer(raw, dtype=np.uint8)
+                        .astype(np.int64))
+                tab = np.zeros(64, dtype=np.int64)
+                tab[list(ZIGZAG)] = vals
+                qtables[tq] = tab.reshape(8, 8)
+                bp += cnt
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = body[bp + 1:bp + 17]
+                if len(bits) != 16:
+                    raise JpegCodecError("short DHT")
+                total = sum(bits)
+                vals = body[bp + 17:bp + 17 + total]
+                if len(vals) != total:
+                    raise JpegCodecError("short DHT values")
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+                bp += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegCodecError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise JpegCodecError("only single-component (grayscale)")
+            if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                raise JpegCodecError("implausible dimensions")
+            samp, qt_id = body[7], body[8]
+            if samp != 0x11:
+                raise JpegCodecError("subsampling unsupported for 1 comp")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegCodecError("non-baseline SOF unsupported")
+        elif marker == 0xDA:  # SOS
+            if w < 0:
+                raise JpegCodecError("SOS before SOF")
+            ns = body[0]
+            if ns != 1:
+                raise JpegCodecError("multi-scan unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_pos = pos + 2 + size
+            break
+        pos += 2 + size
+    if scan_pos < 0:
+        raise JpegCodecError("no scan data")
+    qt = qtables.get(qt_id)
+    dc_tab = htables.get((0, dc_id))
+    ac_tab = htables.get((1, ac_id))
+    if qt is None or dc_tab is None or ac_tab is None:
+        raise JpegCodecError("missing table referenced by scan")
+
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    br = _BitReader(data, scan_pos)
+    a = _DCT_A
+    pred = 0
+    unz = list(ZIGZAG)
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = _decode_huffman(br, dc_tab)
+            if cat:
+                pred += _extend(br.bits(cat), cat)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _decode_huffman(br, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise JpegCodecError("AC index overrun")
+                zz[k] = _extend(br.bits(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.int64)
+            coef[unz] = zz
+            block = (coef.reshape(8, 8) * qt).astype(np.float64)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = a.T @ block @ a
+    pixels = np.clip(np.round(out[:h, :w] + 128.0), 0, 255) \
+        .astype(np.uint8)
+    return w, h, pixels

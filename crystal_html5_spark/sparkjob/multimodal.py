@@ -9,9 +9,10 @@ Decode honesty, by mime:
   width/height/features from unfiltered IDAT data.
 - ``audio/wav``  — REAL PCM decode (wavcodec.py): sample rate, channels
   and amplitude features from the actual samples.
-- ``image/jpeg`` — header-honest: dimensions parsed from the SOF marker
-  (full pixel decode needs a DCT; the decoder column says
-  'jpeg-header' and features fall back to byte stripes).
+- ``image/jpeg`` — REAL pixel decode (jpegcodec.py: stream-defined
+  Huffman tables, dequantize, inverse DCT) for baseline grayscale;
+  non-baseline/color streams fall back to header dimensions
+  ('jpeg-header') via wavcodec.jpeg_dimensions.
 - anything else — ``decode_image``: PIL when importable, otherwise the
   clearly-marked deterministic fake.
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
@@ -33,8 +34,8 @@ FEATURE_SCHEMA_DDL = (
 def synth_media(spark, sf_dir: str) -> DataFrame:
     """Deterministic synthetic media blobs derived from doc ids (stand-in
     for a real media column; no external data).  doc_id % 4 selects the
-    modality: 0 -> real PNG, 1 -> real PCM WAV, 2 -> JPEG container with
-    honest header dimensions, 3 -> opaque bytes (fake path)."""
+    modality: 0 -> real PNG, 1 -> real PCM WAV, 2 -> real baseline
+    JPEG (grayscale, DCT+Huffman), 3 -> opaque bytes (fake path)."""
     from . import io as tableio
 
     docs = tableio.read_table(spark, f"{sf_dir}/documents.parquet") \
@@ -46,8 +47,9 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
+        from .jpegcodec import encode_jpeg
         from .pngcodec import encode_png
-        from .wavcodec import encode_jpeg_stub, encode_wav
+        from .wavcodec import encode_wav
 
         for batch in iterator:
             ids = batch.column("doc_id").to_pylist()
@@ -71,9 +73,13 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                         samples, sample_rate=8000 + (i % 3) * 4000))
                     mime.append("audio/wav")
                 elif kind == 2:
-                    seed = hashlib.md5(str(i).encode()).digest()
-                    media.append(encode_jpeg_stub(
-                        16 + i % 31, 9 + i % 17, seed * 16))
+                    w = 16 + i % 31
+                    h = 9 + i % 17
+                    # Deterministic gradient+texture image; REAL
+                    # baseline-JPEG encoded (DCT + Huffman).
+                    px = ((i * 17 + np.arange(h * w, dtype=np.int64) * 3)
+                          % 256).astype(np.uint8).reshape(h, w)
+                    media.append(encode_jpeg(px, quality=92))
                     mime.append("image/jpeg")
                 else:
                     seed = hashlib.md5(str(i).encode()).digest()
@@ -126,8 +132,10 @@ def extract_media_features(media: DataFrame,
                            feature_dim: int = 4) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    PNG and WAV rows decode for real; JPEG rows get honest header
-    dimensions.  The residual fake path stays fully vectorized: one
+    PNG, WAV and baseline-grayscale JPEG rows decode for real (pixels /
+    PCM samples / DCT coefficients); unsupported JPEG flavors fall back
+    to honest header dimensions.  The residual fake path stays fully
+    vectorized: one
     concatenation + np.add.reduceat over stripe boundaries computes
     every row's per-stripe byte means with no Python loop.  Codec calls
     are inherently per-blob, so only decodable rows pay a per-row
@@ -137,6 +145,7 @@ def extract_media_features(media: DataFrame,
         import numpy as np
         import pandas as pd
 
+        from .jpegcodec import JpegCodecError, decode_jpeg
         from .pngcodec import PngError, decode_png
         from .wavcodec import JpegError, WavError, decode_wav, \
             jpeg_dimensions
@@ -184,14 +193,21 @@ def extract_media_features(media: DataFrame,
                     decoded[i] = True
                 elif m == "image/jpeg":
                     try:
-                        w, h, _nc = jpeg_dimensions(blobs[i])
-                    except JpegError:
+                        w, h, px = decode_jpeg(blobs[i])
+                    except JpegCodecError:
+                        # Non-baseline/color stream: honest header
+                        # dims, features from byte stripes below.
+                        try:
+                            w, h, _nc = jpeg_dimensions(blobs[i])
+                        except JpegError:
+                            continue
+                        decoder[i] = "jpeg-header"
+                        width[i], height[i] = w, h
                         continue
-                    decoder[i] = "jpeg-header"
+                    decoder[i] = "jpeg"
                     width[i], height[i] = w, h
-                    # features stay byte stripes (no DCT decode) — the
-                    # vectorized pass below fills them
-                    continue
+                    feat_mat[i] = _stripe_means(px.reshape(-1), k)
+                    decoded[i] = True
 
             # --- vectorized stripe means for everything undecoded -----
             rest = ~decoded
@@ -278,7 +294,7 @@ def media_meta_query(spark, sf_dir: str) -> DataFrame:
 
 # DuckDB side of media_meta_query.  Mirrors synth_media's parameters:
 # doc_id%4 -> png(4+id%13 x 3+id%11) / wav(8000+(id%3)*4000 Hz,
-# 256+id%500 samples) / jpeg-header(16+id%31 x 9+id%17) / fake
+# 256+id%500 samples) / jpeg(16+id%31 x 9+id%17, real decode) / fake
 # (1+first, 1+last byte of md5(str(id)).digest()*64 — i.e. digest
 # bytes 0 and 15, extracted from the hex with strpos arithmetic).
 MEDIA_META_ORACLE = """
@@ -296,7 +312,7 @@ WITH b AS (
 )
 SELECT doc_id,
   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-       WHEN 2 THEN 'jpeg-header' ELSE 'fake' END AS decoder,
+       WHEN 2 THEN 'jpeg' ELSE 'fake' END AS decoder,
   CAST(CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 13
        WHEN 2 THEN 16 + doc_id % 31
        WHEN 3 THEN 1 + first_byte ELSE 0 END AS INT) AS width,

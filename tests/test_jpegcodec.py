@@ -1,0 +1,120 @@
+"""Baseline-JPEG codec: round-trip fidelity, stream-defined tables,
+robustness.  Complements tests/test_multimodal.py's pipeline checks."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from crystal_html5_spark.sparkjob.jpegcodec import (
+    ZIGZAG,
+    JpegCodecError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_zigzag_is_the_standard_order():
+    # Spot-check the generated T.81 Figure-5 sequence.
+    assert ZIGZAG[:10] == (0, 1, 8, 16, 9, 2, 3, 10, 17, 24)
+    assert ZIGZAG[-3:] == (55, 62, 63)
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (9, 16), (25, 47), (1, 1),
+                                 (13, 5), (16, 16)])
+def test_round_trip_close_and_exact_dims(h, w):
+    px = ((np.arange(h * w, dtype=np.int64) * 31 + 7) % 256) \
+        .astype(np.uint8).reshape(h, w)
+    blob = encode_jpeg(px, quality=92)
+    w2, h2, out = decode_jpeg(blob)
+    assert (w2, h2) == (w, h)
+    assert out.shape == (h, w)
+    # Lossy but bounded: quantization error at q92 on this texture.
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 16
+
+
+def test_smooth_image_near_lossless():
+    px = np.tile(np.linspace(0, 255, 64).astype(np.uint8), (32, 1))
+    _w, _h, out = decode_jpeg(encode_jpeg(px))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_deterministic_encode_and_decode():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    b1, b2 = encode_jpeg(px), encode_jpeg(px)
+    assert b1 == b2
+    assert np.array_equal(decode_jpeg(b1)[2], decode_jpeg(b2)[2])
+
+
+def test_header_parser_interop():
+    """wavcodec's header-only parser reads this encoder's SOF."""
+    from crystal_html5_spark.sparkjob.wavcodec import jpeg_dimensions
+
+    px = np.zeros((9, 17), dtype=np.uint8)
+    assert jpeg_dimensions(encode_jpeg(px)) == (17, 9, 1)
+
+
+def test_quality_controls_size():
+    px = (np.arange(64 * 64, dtype=np.int64) * 97 % 256) \
+        .astype(np.uint8).reshape(64, 64)
+    assert len(encode_jpeg(px, quality=30)) < len(encode_jpeg(px, 95))
+
+
+def test_decode_rejects_color_and_progressive():
+    px = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 9] = 3  # claim 3 components
+    with pytest.raises(JpegCodecError):
+        decode_jpeg(bytes(blob))
+    blob[sof + 9] = 1
+    blob[sof + 1] = 0xC2  # progressive SOF
+    with pytest.raises(JpegCodecError):
+        decode_jpeg(bytes(blob))
+
+
+def test_dimension_bomb_guard():
+    px = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    sof = blob.index(b"\xff\xc0")
+    # SOF body: len(2) prec(1) h(2) w(2): claim 30000x30000.
+    blob[sof + 5:sof + 9] = struct.pack(">HH", 30000, 30000)
+    with pytest.raises(JpegCodecError):
+        decode_jpeg(bytes(blob))
+
+
+def test_truncated_and_garbage_inputs_raise_typed_error():
+    import random
+
+    px = ((np.arange(16 * 24) * 13) % 256).astype(np.uint8).reshape(16, 24)
+    blob = encode_jpeg(px)
+    for cut in (2, 10, len(blob) // 2, len(blob) - 3):
+        try:
+            decode_jpeg(blob[:cut])
+        except JpegCodecError:
+            pass  # typed rejection is the contract
+    rng = random.Random(4)
+    for _ in range(200):
+        junk = b"\xff\xd8" + bytes(rng.randrange(256)
+                                   for _ in range(rng.randrange(0, 80)))
+        try:
+            decode_jpeg(junk)
+        except JpegCodecError:
+            pass
+
+
+def test_corrupted_entropy_data_never_escapes_untyped():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    sos = blob.index(b"\xff\xda")
+    for _ in range(100):
+        b2 = bytearray(blob)
+        i = int(rng.integers(sos + 10, len(blob) - 2))
+        b2[i] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(b2))
+        except JpegCodecError:
+            pass

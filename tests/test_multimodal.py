@@ -167,7 +167,7 @@ def test_media_features_query_all_modalities(spark):
 
     rows = media_features_query(spark, "/root/testdata/sf0.001").collect()
     decoders = {r["decoder"] for r in rows}
-    assert decoders == {"png", "wav", "jpeg-header", "fake"}
+    assert decoders == {"png", "wav", "jpeg", "fake"}
     by_mod = {d: [r for r in rows if r["decoder"] == d] for d in decoders}
     assert all(r["doc_id"] % 4 == 0 for r in by_mod["png"])
     assert all(4 <= r["width"] <= 16 and 3 <= r["height"] <= 13
@@ -178,9 +178,12 @@ def test_media_features_query_all_modalities(spark):
                for r in by_mod["wav"])
     assert all(256 <= r["n_samples"] <= 756 for r in by_mod["wav"])
     assert all(0 < r["f1"] <= 2048 for r in by_mod["wav"])  # mean |amp|
-    # JPEG rows carry header-honest dimensions.
+    # JPEG rows decode for real: dimensions AND pixel-derived features
+    # (stripe means of a mid-gray gradient texture stay near 127.5 —
+    # byte stripes of the compressed stream would not).
     assert all(16 <= r["width"] <= 46 and 9 <= r["height"] <= 25
-               for r in by_mod["jpeg-header"])
+               for r in by_mod["jpeg"])
+    assert all(80 <= r["f1"] <= 175 for r in by_mod["jpeg"])
     # Deterministic across runs (driver rows-only contract).
     again = media_features_query(spark, "/root/testdata/sf0.001").collect()
     assert rows == again
