@@ -13,6 +13,9 @@ Decode honesty, by mime:
   Huffman tables, dequantize, inverse DCT) for baseline grayscale;
   non-baseline/color streams fall back to header dimensions
   ('jpeg-header') via wavcodec.jpeg_dimensions.
+- ``video/avi`` — REAL container parse + frame decode (avicodec.py):
+  RIFF/LIST walk, avih/strf headers, uncompressed 8-bit DIB frames;
+  frame-sampling features from the actual pixels.
 - anything else — ``decode_image``: PIL when importable, otherwise the
   clearly-marked deterministic fake.
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
@@ -27,15 +30,16 @@ MEDIA_SCHEMA_DDL = "doc_id bigint, media binary, mime string"
 FEATURE_SCHEMA_DDL = (
     "doc_id bigint, media_len int, decoder string,"
     " width int, height int, sample_rate int, n_samples int,"
-    " feature array<double>"
+    " n_frames int, fps int, feature array<double>"
 )
 
 
 def synth_media(spark, sf_dir: str) -> DataFrame:
     """Deterministic synthetic media blobs derived from doc ids (stand-in
-    for a real media column; no external data).  doc_id % 4 selects the
+    for a real media column; no external data).  doc_id % 5 selects the
     modality: 0 -> real PNG, 1 -> real PCM WAV, 2 -> real baseline
-    JPEG (grayscale, DCT+Huffman), 3 -> opaque bytes (fake path)."""
+    JPEG (grayscale, DCT+Huffman), 3 -> real uncompressed AVI video,
+    4 -> opaque bytes (fake path)."""
     from . import io as tableio
 
     docs = tableio.read_table(spark, f"{sf_dir}/documents.parquet") \
@@ -47,6 +51,7 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
+        from .avicodec import encode_avi
         from .jpegcodec import encode_jpeg
         from .pngcodec import encode_png
         from .wavcodec import encode_wav
@@ -55,7 +60,7 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
             ids = batch.column("doc_id").to_pylist()
             media, mime = [], []
             for i in ids:
-                kind = i % 4
+                kind = i % 5
                 if kind == 0:
                     w = 4 + i % 13
                     h = 3 + i % 11
@@ -81,6 +86,14 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                           % 256).astype(np.uint8).reshape(h, w)
                     media.append(encode_jpeg(px, quality=92))
                     mime.append("image/jpeg")
+                elif kind == 3:
+                    nf = 2 + i % 3
+                    w = 8 + i % 9
+                    h = 6 + i % 7
+                    fr = ((i * 13 + np.arange(nf * h * w, dtype=np.int64)
+                           * 7) % 256).astype(np.uint8).reshape(nf, h, w)
+                    media.append(encode_avi(fr, fps=8 + i % 7))
+                    mime.append("video/avi")
                 else:
                     seed = hashlib.md5(str(i).encode()).digest()
                     media.append(seed * 64)
@@ -145,6 +158,7 @@ def extract_media_features(media: DataFrame,
         import numpy as np
         import pandas as pd
 
+        from .avicodec import AviError, decode_avi
         from .jpegcodec import JpegCodecError, decode_jpeg
         from .pngcodec import PngError, decode_png
         from .wavcodec import JpegError, WavError, decode_wav, \
@@ -169,6 +183,8 @@ def extract_media_features(media: DataFrame,
             height = np.zeros(n_rows, dtype=np.int64)
             sample_rate = np.zeros(n_rows, dtype=np.int64)
             n_samples = np.zeros(n_rows, dtype=np.int64)
+            n_frames = np.zeros(n_rows, dtype=np.int64)
+            fps = np.zeros(n_rows, dtype=np.int64)
             decoded = np.zeros(n_rows, dtype=bool)
 
             for i, m in enumerate(mimes):
@@ -207,6 +223,19 @@ def extract_media_features(media: DataFrame,
                     decoder[i] = "jpeg"
                     width[i], height[i] = w, h
                     feat_mat[i] = _stripe_means(px.reshape(-1), k)
+                    decoded[i] = True
+                elif m == "video/avi":
+                    try:
+                        w, h, f, frames = decode_avi(blobs[i])
+                    except AviError:
+                        continue
+                    decoder[i] = "avi"
+                    width[i], height[i] = w, h
+                    n_frames[i], fps[i] = frames.shape[0], f
+                    # frame-sample features: temporal mean frame, then
+                    # spatial stripe means — from the real pixels
+                    feat_mat[i] = _stripe_means(
+                        frames.mean(axis=0).reshape(-1), k)
                     decoded[i] = True
 
             # --- vectorized stripe means for everything undecoded -----
@@ -259,6 +288,8 @@ def extract_media_features(media: DataFrame,
                 "height": height.astype("int32"),
                 "sample_rate": sample_rate.astype("int32"),
                 "n_samples": n_samples.astype("int32"),
+                "n_frames": n_frames.astype("int32"),
+                "fps": fps.astype("int32"),
                 "feature": [row.tolist() for row in feat_mat],
             })
 
@@ -272,7 +303,7 @@ def media_features_query(spark, sf_dir: str) -> DataFrame:
     out = extract_media_features(synth_media(spark, sf_dir))
     return out.select(
         "doc_id", "media_len", "decoder", "width", "height",
-        "sample_rate", "n_samples",
+        "sample_rate", "n_samples", "n_frames", "fps",
         F.round(F.element_at("feature", 1), 6).alias("f1"),
         F.round(F.element_at("feature", 2), 6).alias("f2"),
     ).orderBy("doc_id")
@@ -289,12 +320,14 @@ def media_meta_query(spark, sf_dir: str) -> DataFrame:
     (rows-only: pixel/sample content is not SQL-expressible)."""
     out = extract_media_features(synth_media(spark, sf_dir))
     return out.select("doc_id", "decoder", "width", "height",
-                      "sample_rate", "n_samples").orderBy("doc_id")
+                      "sample_rate", "n_samples", "n_frames",
+                      "fps").orderBy("doc_id")
 
 
 # DuckDB side of media_meta_query.  Mirrors synth_media's parameters:
-# doc_id%4 -> png(4+id%13 x 3+id%11) / wav(8000+(id%3)*4000 Hz,
-# 256+id%500 samples) / jpeg(16+id%31 x 9+id%17, real decode) / fake
+# doc_id%5 -> png(4+id%13 x 3+id%11) / wav(8000+(id%3)*4000 Hz,
+# 256+id%500 samples) / jpeg(16+id%31 x 9+id%17, real decode) /
+# avi(8+id%9 x 6+id%7, 2+id%3 frames at 8+id%7 fps) / fake
 # (1+first, 1+last byte of md5(str(id)).digest()*64 — i.e. digest
 # bytes 0 and 15, extracted from the hex with strpos arithmetic).
 MEDIA_META_ORACLE = """
@@ -311,17 +344,23 @@ WITH b AS (
   FROM b
 )
 SELECT doc_id,
-  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-       WHEN 2 THEN 'jpeg' ELSE 'fake' END AS decoder,
-  CAST(CASE doc_id % 4 WHEN 0 THEN 4 + doc_id % 13
+  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'avi' ELSE 'fake' END AS decoder,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
        WHEN 2 THEN 16 + doc_id % 31
-       WHEN 3 THEN 1 + first_byte ELSE 0 END AS INT) AS width,
-  CAST(CASE doc_id % 4 WHEN 0 THEN 3 + doc_id % 11
+       WHEN 3 THEN 8 + doc_id % 9
+       WHEN 4 THEN 1 + first_byte ELSE 0 END AS INT) AS width,
+  CAST(CASE doc_id % 5 WHEN 0 THEN 3 + doc_id % 11
        WHEN 2 THEN 9 + doc_id % 17
-       WHEN 3 THEN 1 + last_byte ELSE 0 END AS INT) AS height,
-  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 + (doc_id % 3) * 4000
+       WHEN 3 THEN 6 + doc_id % 7
+       WHEN 4 THEN 1 + last_byte ELSE 0 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 3) * 4000
        ELSE 0 END AS INT) AS sample_rate,
-  CAST(CASE WHEN doc_id % 4 = 1 THEN 256 + doc_id % 500
-       ELSE 0 END AS INT) AS n_samples
+  CAST(CASE WHEN doc_id % 5 = 1 THEN 256 + doc_id % 500
+       ELSE 0 END AS INT) AS n_samples,
+  CAST(CASE WHEN doc_id % 5 = 3 THEN 2 + doc_id % 3
+       ELSE 0 END AS INT) AS n_frames,
+  CAST(CASE WHEN doc_id % 5 = 3 THEN 8 + doc_id % 7
+       ELSE 0 END AS INT) AS fps
 FROM d ORDER BY doc_id
 """

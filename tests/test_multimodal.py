@@ -167,13 +167,13 @@ def test_media_features_query_all_modalities(spark):
 
     rows = media_features_query(spark, "/root/testdata/sf0.001").collect()
     decoders = {r["decoder"] for r in rows}
-    assert decoders == {"png", "wav", "jpeg", "fake"}
+    assert decoders == {"png", "wav", "jpeg", "avi", "fake"}
     by_mod = {d: [r for r in rows if r["decoder"] == d] for d in decoders}
-    assert all(r["doc_id"] % 4 == 0 for r in by_mod["png"])
+    assert all(r["doc_id"] % 5 == 0 for r in by_mod["png"])
     assert all(4 <= r["width"] <= 16 and 3 <= r["height"] <= 13
                for r in by_mod["png"])
     # WAV rows carry real audio metadata and amplitude features.
-    assert all(r["doc_id"] % 4 == 1 for r in by_mod["wav"])
+    assert all(r["doc_id"] % 5 == 1 for r in by_mod["wav"])
     assert all(r["sample_rate"] in (8000, 12000, 16000)
                for r in by_mod["wav"])
     assert all(256 <= r["n_samples"] <= 756 for r in by_mod["wav"])
@@ -184,6 +184,14 @@ def test_media_features_query_all_modalities(spark):
     assert all(16 <= r["width"] <= 46 and 9 <= r["height"] <= 25
                for r in by_mod["jpeg"])
     assert all(80 <= r["f1"] <= 175 for r in by_mod["jpeg"])
+    # AVI rows: real container parse + frame decode (count, fps, and
+    # pixel-derived frame-mean features).
+    assert all(r["doc_id"] % 5 == 3 for r in by_mod["avi"])
+    assert all(8 <= r["width"] <= 16 and 6 <= r["height"] <= 12
+               for r in by_mod["avi"])
+    assert all(2 <= r["n_frames"] <= 4 and 8 <= r["fps"] <= 14
+               for r in by_mod["avi"])
+    assert all(60 <= r["f1"] <= 195 for r in by_mod["avi"])
     # Deterministic across runs (driver rows-only contract).
     again = media_features_query(spark, "/root/testdata/sf0.001").collect()
     assert rows == again
