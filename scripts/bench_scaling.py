@@ -56,19 +56,32 @@ def worker(cpus: int, pages_path: str, runs: int) -> None:
 
     one()  # warm-up
     times = []
+    loads = []
     n = 0
     parse_cpu_sec = 0.0
-    for _ in range(runs):
+    # Stable-window sampling (same policy as bench.py): take `runs`
+    # samples, then keep sampling (bounded) while the tail still shows
+    # the host's post-idle throttle decay — i.e. until the median of
+    # the last `runs` samples is within 1.4x of their min.
+    max_runs = runs + 3
+    while True:
         t, n, parse_cpu_sec = one()
         times.append(t)
-    med = statistics.median(times)
-    loadavg = open("/proc/loadavg").read().split()[:3]
+        loads.append(float(open("/proc/loadavg").read().split()[0]))
+        if len(times) >= runs:
+            window = times[-runs:]
+            if statistics.median(window) <= 1.4 * min(window):
+                break
+            if len(times) >= max_runs:
+                break
+    window = times[-runs:]
+    med = statistics.median(window)
     print(json.dumps({
         "cpus": cpus, "median_sec": med, "min_sec": min(times),
-        "times": times, "docs": n,
+        "times": times, "window": window, "docs": n,
         "docs_per_sec": n / med,
         "parse_cpu_sec": parse_cpu_sec,
-        "loadavg_after": loadavg,
+        "loadavg_per_run": loads,
     }))
     spark.stop()
 
@@ -85,6 +98,15 @@ def orchestrate(n_pages: int, runs: int, n_level: int = 8) -> None:
     levels = (n_level, 4 * n_level)
     results = {}
     for cpus in levels:
+        # Quiet-wait (bench.py policy): don't launch a timed leg while
+        # the host is still busy with something else.
+        waited = 0.0
+        while waited < 180:
+            load1 = float(open("/proc/loadavg").read().split()[0])
+            if load1 < 2.0:
+                break
+            time.sleep(10)
+            waited += 10
         out = subprocess.run(
             [sys.executable, __file__, "--worker", "--cpus", str(cpus),
              "--pages", pages_path, "--runs", str(runs)],
