@@ -364,3 +364,142 @@ SELECT doc_id,
        ELSE 0 END AS INT) AS fps
 FROM d ORDER BY doc_id
 """
+
+
+def _nn_resize(px, tw: int, th: int):
+    """Nearest-neighbor resize via exact integer index mapping
+    (src_idx = floor(i * src / dst)) — deterministic, no float grid."""
+    import numpy as np
+
+    h, w = px.shape
+    rows = (np.arange(th, dtype=np.int64) * h) // th
+    cols = (np.arange(tw, dtype=np.int64) * w) // tw
+    return px[rows][:, cols]
+
+
+def thumb_dims(w: int, h: int, max_dim: int):
+    """Aspect-preserving bound to max_dim, integer floor arithmetic
+    (never upscales) — deliberately SQL-replicable for the oracle."""
+    m = max(w, h)
+    if m <= max_dim:
+        return w, h
+    return max(1, (w * max_dim) // m), max(1, (h * max_dim) // m)
+
+
+def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
+    """Thumbnail operator over the binary media column: decode (PNG /
+    JPEG pixels, first AVI frame), nearest-neighbor resize bounded to
+    ``max_dim``, re-encode as PNG.  Audio/opaque rows pass through with
+    decoder='none' and no thumb.  Same mapInPandas plumbing as feature
+    extraction — per-blob codec work, Arrow-batched."""
+
+    def thumbs(iterator):
+        import numpy as np
+        import pandas as pd
+
+        from .avicodec import AviError, decode_avi
+        from .jpegcodec import JpegCodecError, decode_jpeg
+        from .pngcodec import PngError, decode_png, encode_png
+
+        for pdf in iterator:
+            out = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "decoder": [], "src_w": [], "src_h": [],
+                "thumb_w": [], "thumb_h": [], "thumb": [],
+                "thumb_mean": [],
+            }
+            for blob, mime in zip(pdf["media"], pdf["mime"]):
+                blob = bytes(blob) if blob is not None else b""
+                px = None
+                dec = "none"
+                try:
+                    if mime == "image/png":
+                        _w, _h, _ch, px = decode_png(blob)
+                        if px.ndim == 3:  # RGB(A): luma-ish mean plane
+                            px = px.mean(axis=2).astype(np.uint8)
+                        dec = "png"
+                    elif mime == "image/jpeg":
+                        _w, _h, px = decode_jpeg(blob)
+                        dec = "jpeg"
+                    elif mime == "video/avi":
+                        _w, _h, _fps, frames = decode_avi(blob)
+                        px = frames[0]  # video thumb = first frame
+                        dec = "avi"
+                except (PngError, JpegCodecError, AviError):
+                    px = None
+                    dec = "none"
+                if px is None:
+                    out["decoder"].append(dec)
+                    for k in ("src_w", "src_h", "thumb_w", "thumb_h"):
+                        out[k].append(0)
+                    out["thumb"].append(None)
+                    out["thumb_mean"].append(0.0)
+                    continue
+                h, w = px.shape
+                tw, th = thumb_dims(w, h, max_dim)
+                tp = _nn_resize(px, tw, th)
+                out["decoder"].append(dec)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["thumb_w"].append(tw)
+                out["thumb_h"].append(th)
+                out["thumb"].append(encode_png(tp, channels=1))
+                out["thumb_mean"].append(float(tp.mean()))
+            yield pd.DataFrame({
+                "doc_id": out["doc_id"],
+                "decoder": out["decoder"],
+                "src_w": np.array(out["src_w"], dtype="int32"),
+                "src_h": np.array(out["src_h"], dtype="int32"),
+                "thumb_w": np.array(out["thumb_w"], dtype="int32"),
+                "thumb_h": np.array(out["thumb_h"], dtype="int32"),
+                "thumb": out["thumb"],
+                "thumb_mean": out["thumb_mean"],
+            })
+
+    return media.select("doc_id", "media", "mime").mapInPandas(
+        thumbs,
+        "doc_id bigint, decoder string, src_w int, src_h int,"
+        " thumb_w int, thumb_h int, thumb binary, thumb_mean double",
+    )
+
+
+def media_thumbs_query(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query for the resize operator: metadata slice
+    with a REAL cross-engine oracle.  DuckDB recomputes src and thumb
+    dimensions purely from doc_id arithmetic (synth params + the
+    integer thumb_dims formula) — it never sees a pixel, so a resize
+    dimension bug cannot cancel out.  The thumb bytes / pixel means
+    stay covered by unit tests (exact nearest-neighbor check vs numpy
+    reference + PNG re-decode round-trip)."""
+    out = resize_media(synth_media(spark, sf_dir), max_dim=16)
+    return out.select("doc_id", "decoder", "src_w", "src_h",
+                      "thumb_w", "thumb_h").orderBy("doc_id")
+
+
+# DuckDB replay of media_thumbs_query: synth dims per modality, then
+# thumb_dims' integer formula (bound to 16, floor division, min 1,
+# never upscale).
+MEDIA_THUMBS_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+    CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 2 THEN 'jpeg'
+         WHEN 3 THEN 'avi' ELSE 'none' END AS decoder,
+    CAST(CASE doc_id % 5 WHEN 0 THEN 4 + doc_id % 13
+         WHEN 2 THEN 16 + doc_id % 31
+         WHEN 3 THEN 8 + doc_id % 9 ELSE 0 END AS INT) AS src_w,
+    CAST(CASE doc_id % 5 WHEN 0 THEN 3 + doc_id % 11
+         WHEN 2 THEN 9 + doc_id % 17
+         WHEN 3 THEN 6 + doc_id % 7 ELSE 0 END AS INT) AS src_h
+  FROM documents
+)
+SELECT doc_id, decoder, src_w, src_h,
+  CAST(CASE WHEN decoder = 'none' THEN 0
+       WHEN GREATEST(src_w, src_h) <= 16 THEN src_w
+       ELSE GREATEST(1, (src_w * 16) // GREATEST(src_w, src_h))
+       END AS INT) AS thumb_w,
+  CAST(CASE WHEN decoder = 'none' THEN 0
+       WHEN GREATEST(src_w, src_h) <= 16 THEN src_h
+       ELSE GREATEST(1, (src_h * 16) // GREATEST(src_w, src_h))
+       END AS INT) AS thumb_h
+FROM src ORDER BY doc_id
+"""

@@ -249,3 +249,61 @@ def test_png_bomb_guards():
            + _chunk(b"IEND", b""))
     with pytest.raises(PngError):
         decode_png(fat)
+
+
+def test_nn_resize_exact_vs_reference():
+    import numpy as np
+
+    from crystal_html5_spark.sparkjob.multimodal import _nn_resize
+
+    px = (np.arange(20 * 30, dtype=np.int64) % 256).astype(np.uint8) \
+        .reshape(20, 30)
+    tp = _nn_resize(px, 16, 10)
+    # independent reference: explicit per-pixel floor mapping
+    ref = np.array([[px[(y * 20) // 10, (x * 30) // 16]
+                     for x in range(16)] for y in range(10)], dtype=np.uint8)
+    assert np.array_equal(tp, ref)
+    # identity when dims match
+    assert np.array_equal(_nn_resize(px, 30, 20), px)
+
+
+def test_thumb_dims_formula():
+    from crystal_html5_spark.sparkjob.multimodal import thumb_dims
+
+    assert thumb_dims(8, 6, 16) == (8, 6)          # never upscale
+    assert thumb_dims(46, 25, 16) == (16, 8)
+    assert thumb_dims(25, 46, 16) == (8, 16)
+    assert thumb_dims(100, 1, 16) == (16, 1)       # floor >= 1
+    assert thumb_dims(16, 16, 16) == (16, 16)
+
+
+def test_media_thumbs_round_trip(spark):
+    import numpy as np
+
+    from crystal_html5_spark.sparkjob.multimodal import (
+        media_thumbs_query,
+        resize_media,
+        synth_media,
+    )
+    from crystal_html5_spark.sparkjob.pngcodec import decode_png
+
+    rows = resize_media(synth_media(spark, "/root/testdata/sf0.001"),
+                        max_dim=16).collect()
+    assert {r["decoder"] for r in rows} == {"png", "jpeg", "avi", "none"}
+    for r in rows:
+        if r["decoder"] == "none":
+            assert r["thumb"] is None and r["thumb_w"] == 0
+            continue
+        # thumb is a decodable PNG with the claimed dims and mean
+        w, h, _ch, px = decode_png(bytes(r["thumb"]))
+        assert (w, h) == (r["thumb_w"], r["thumb_h"])
+        assert max(w, h) <= 16 and min(w, h) >= 1
+        assert abs(float(np.asarray(px).mean()) - r["thumb_mean"]) < 1e-9
+    # deterministic (rows-only style check for the binary column)
+    again = resize_media(synth_media(spark, "/root/testdata/sf0.001"),
+                         max_dim=16).collect()
+    assert rows == again
+    # the contract query slices only the oracle-able metadata
+    meta = media_thumbs_query(spark, "/root/testdata/sf0.001").columns
+    assert meta == ["doc_id", "decoder", "src_w", "src_h",
+                    "thumb_w", "thumb_h"]
