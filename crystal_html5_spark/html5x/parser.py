@@ -101,11 +101,13 @@ _IB_END_FORMATTING = frozenset((
 
 
 def _index(stack: list[Node], n: Node) -> int:
-    """Identity index, first (bottom-most) occurrence — node.cr:404-409."""
-    for i, s in enumerate(stack):
-        if s is n:
-            return i
-    return -1
+    """Identity index, first (bottom-most) occurrence — node.cr:404-409.
+    Node defines no __eq__, so list.index compares by identity at C
+    speed."""
+    try:
+        return stack.index(n)
+    except ValueError:
+        return -1
 
 
 def _remove(stack: list[Node], n: Node | None) -> None:
@@ -277,6 +279,9 @@ class Parser:
     # -- scope queries (parser.cr:105-178) -----------------------------------
 
     def index_of_element_in_scope(self, s: int, *match_tags: str) -> int:
+        return self._scope_idx(s, match_tags)
+
+    def _scope_idx(self, s: int, match_tags: tuple) -> int:
         oe = self.oe
         if s == DEFAULT_SCOPE:
             # Specialized loop for the dominant scope kind: no per-frame
@@ -327,10 +332,10 @@ class Parser:
         return -1
 
     def element_in_scope(self, s: int, *match_tags: str) -> bool:
-        return self.index_of_element_in_scope(s, *match_tags) != -1
+        return self._scope_idx(s, match_tags) != -1
 
     def pop_until(self, s: int, *match_tags: str) -> bool:
-        i = self.index_of_element_in_scope(s, *match_tags)
+        i = self._scope_idx(s, match_tags)
         if i != -1:
             del self.oe[i:]
             return True

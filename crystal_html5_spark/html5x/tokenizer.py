@@ -642,7 +642,9 @@ class Tokenizer:
         return START_TAG
 
     def _read_tag(self, save_attr: bool) -> None:
-        if self.max_buf:
+        if self.max_buf and self.n >= self.max_buf:
+            # Cap reachable only when the buffer is at least cap-sized
+            # (see next()); otherwise the fast path below is identical.
             self._read_tag_checked(save_attr)
             return
         # Fast path (no byte cap): same state machine, local cursors, no
@@ -914,9 +916,15 @@ class Tokenizer:
         self.convert_nul = False
 
         buf = self.buf
-        if not self.max_buf:
-            # Fast scan loop (no byte cap): local cursor, no per-byte
-            # method calls.  Byte-identical to the checked loop below.
+        if not self.max_buf or self.n < self.max_buf:
+            # Fast scan loop: local cursor, no per-byte method calls.
+            # Taken not only when uncapped but whenever the WHOLE buffer
+            # is shorter than the cap — no token span can then reach
+            # ``pos - raw_start >= max_buf``, so the checked loop's cap
+            # tests are provably dead and the two loops are
+            # byte-identical (gated by the golden max_buf sweep, which
+            # uses caps smaller than the inputs and so still exercises
+            # the checked loop).
             n = self.n
             pos = self.pos
             raw_start = self.raw_start
@@ -942,7 +950,9 @@ class Tokenizer:
                         self.pos = m.end()
                         self.n_attr_returned = 0
                         if regs[1][0] != regs[1][1]:  # '</...'
-                            self.attr = []
+                            # end tags never read attrs: shared empty
+                            # tuple, no per-token list alloc
+                            self.attr = ()
                             self.tt = END_TAG
                             return END_TAG
                         attr = self.attr = []
