@@ -153,8 +153,11 @@ def main() -> None:
             # BENCH/history.jsonl with its loadavg.
             def stable() -> bool:
                 w = runs[-3:]
+                if len(w) < 2:  # REPS=1 override: accept the single run
+                    return True
+                med = sorted(w)[len(w) // 2]
                 return (max(w) / min(w) < 1.35
-                        and sorted(w)[1] <= 1.4 * min(runs))
+                        and med <= 1.4 * min(runs))
 
             while not stable() and len(runs) < cap:
                 one()

@@ -117,6 +117,14 @@ def write_extracted(spark, extracted: DataFrame, dest: str) -> None:
     Iceberg is present.
     """
     spark = getattr(extracted, "sparkSession", None) or spark
+    if "batch_ts" not in extracted.columns:
+        # Stamped HERE, in the seam, so every writer of a dest (batch
+        # job, idempotent streaming sink) produces the same schema —
+        # mixed-schema parquet under one directory reads back
+        # non-deterministically, and an Iceberg MERGE INSERT * fails
+        # outright on a column-count mismatch.
+        extracted = extracted.withColumn(
+            "batch_ts", F.current_timestamp())
     if use_catalog(spark, dest):
         if not spark.catalog.tableExists(dest):
             extracted.writeTo(dest).create()

@@ -8,10 +8,13 @@ decoder builds its Huffman tables and quantization tables from the
 stream's own DHT/DQT segments, so it decodes any conforming baseline
 grayscale JPEG, not just this module's output.
 
-Scope is honest: multi-component (color) and progressive (SOF2) streams
-raise ``JpegError`` and the caller's feature path falls back; the synth
-media pipeline only emits the supported subset.  Complements
-pngcodec.py (PNG) and wavcodec.py (WAV + JPEG header-only parse).
+Restart intervals (DRI + RST0-7) and 0xFF fill bytes — both spec-
+conforming — are handled on decode, and the encoder can emit restart
+markers.  Scope is honest: multi-component (color) and progressive
+(SOF2) streams raise ``JpegCodecError`` and the caller's feature path
+falls back; the synth media pipeline only emits the supported subset.
+Complements pngcodec.py (PNG) and wavcodec.py (WAV + JPEG header-only
+parse).
 """
 
 from __future__ import annotations
@@ -37,7 +40,6 @@ for _s in range(15):
     for _r in (reversed(_rng) if _s % 2 == 0 else _rng):
         ZIGZAG.append(_r * 8 + (_s - _r))
 ZIGZAG = tuple(ZIGZAG)
-_UNZIGZAG = tuple(ZIGZAG.index(i) for i in range(64))
 
 # Annex K.1 luminance quantization table (zigzag-natural row order).
 _K1_QUANT = np.array([
@@ -126,10 +128,13 @@ class _BitWriter:
                 self.out.append(0x00)  # byte stuffing (F.1.2.3)
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (B.2.1)
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -137,8 +142,13 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(pixels, quality: int = 92) -> bytes:
-    """Encode an HxW uint8 grayscale array as baseline sequential JPEG."""
+def encode_jpeg(pixels, quality: int = 92,
+                restart_interval: int = 0) -> bytes:
+    """Encode an HxW uint8 grayscale array as baseline sequential JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
+    every that many MCUs (byte-aligned, DC prediction reset) — the
+    error-resilience feature real encoders use on large images."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 2 or px.size == 0:
         raise JpegCodecError("encode_jpeg wants a non-empty HxW array")
@@ -157,8 +167,16 @@ def encode_jpeg(pixels, quality: int = 92) -> bytes:
     pred = 0
     a = _DCT_A
     zz = np.array(ZIGZAG)
+    mcu = 0
+    rst = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = 0
+            mcu += 1
             block = padded[by:by + 8, bx:bx + 8]
             coef = a @ block @ a.T
             q = np.round(coef / qt_mat).astype(np.int64).ravel()[zz]
@@ -204,8 +222,11 @@ def encode_jpeg(pixels, quality: int = 92) -> bytes:
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     dht = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) \
         + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-    return (b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + scan
+            + b"\xff\xd9")
 
 
 class _BitReader:
@@ -231,7 +252,7 @@ class _BitReader:
             m = d[p]
             if m == 0x00:
                 p += 1
-            elif 0xD0 <= m <= 0xD7:  # RST — handled by caller via align
+            elif 0xD0 <= m <= 0xD7:  # RST belongs between MCUs
                 raise JpegCodecError("unexpected RST inside block")
             else:
                 raise JpegCodecError("marker inside entropy data")
@@ -250,6 +271,16 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RST marker at an MCU boundary (F.2.1.3.1): drop
+        the partial byte, then expect 0xFF 0xD0-0xD7."""
+        self.nbits = 0
+        self.acc = 0
+        d, p = self.data, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF or not 0xD0 <= d[p + 1] <= 0xD7:
+            raise JpegCodecError("expected restart marker")
+        self.pos = p + 2
 
 
 def _decode_huffman(br: _BitReader, table: dict) -> int:
@@ -282,9 +313,14 @@ def decode_jpeg(data: bytes):
     qt_id = 0
     dc_id = ac_id = 0
     scan_pos = -1
+    dri = 0
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise JpegCodecError("marker desync")
+        while data[pos + 1] == 0xFF:  # 0xFF fill bytes (B.1.1.2)
+            pos += 1
+            if pos + 4 > n:
+                raise JpegCodecError("truncated fill run")
         marker = data[pos + 1]
         if marker == 0xD9:
             break
@@ -348,6 +384,10 @@ def decode_jpeg(data: bytes):
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegCodecError("non-baseline SOF unsupported")
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegCodecError("short DRI")
+            dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             if w < 0:
                 raise JpegCodecError("SOS before SOF")
@@ -373,8 +413,13 @@ def decode_jpeg(data: bytes):
     a = _DCT_A
     pred = 0
     unz = list(ZIGZAG)
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if dri and mcu and mcu % dri == 0:
+                br.restart()
+                pred = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             cat = _decode_huffman(br, dc_tab)
             if cat:

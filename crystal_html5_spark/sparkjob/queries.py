@@ -800,14 +800,23 @@ def _ivf_nprobe(k: int) -> int:
 
 
 def _emb_rowcount(sf_dir: str, default: int = 500) -> int:
-    """Embeddings rowcount from parquet footer metadata (no scan); the
-    default covers oracle construction when the file is absent."""
-    try:
-        import pyarrow.parquet as pq
+    """Embeddings rowcount from parquet footer metadata (no scan).
 
-        return pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    except Exception:  # noqa: BLE001 — driver sf dir always exists
-        return default
+    Handles both a single file and a multi-file dataset directory; the
+    default (the sf0.01 rowcount, where the driver runs oracles) covers
+    oracle construction when the path is absent entirely."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        return pq.read_metadata(path).num_rows
+    except Exception:  # noqa: BLE001 — maybe a dataset directory
+        try:
+            ds = pq.ParquetDataset(path)
+            return sum(f.metadata.num_rows
+                       for f in (pq.ParquetFile(p) for p in ds.files))
+        except Exception:  # noqa: BLE001 — path absent: oracle default
+            return default
 
 
 def _ann_ivf_topk_sql(dialect: str, n: int = 500,

@@ -152,12 +152,10 @@ def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
             # foreachBatch hands a frame bound to a per-batch CLONED
             # session; write_extracted derives its session from the
             # frame so the Iceberg MERGE's temp view and the sql run
-            # on the same clone.  batch_ts is stamped here so both
-            # sink variants write the same schema.
+            # on the same clone.  The seam stamps batch_ts, keeping
+            # every writer of the dest on one schema.
             tableio.write_extracted(
-                batch_df.sparkSession,
-                batch_df.withColumn("batch_ts", F.current_timestamp()),
-                output_dir)
+                batch_df.sparkSession, batch_df, output_dir)
 
         writer = out.writeStream.foreachBatch(sink) \
             .option("checkpointLocation", checkpoint_dir)

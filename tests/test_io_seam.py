@@ -107,6 +107,7 @@ def test_write_extracted_merge_branch(monkeypatch):
 
     class _FakeDF:
         sparkSession = batch  # frames carry their own (cloned) session
+        columns = ["url", "warc_ts", "text", "batch_ts"]  # seam-stamped
 
         def createOrReplaceTempView(self, name):
             batch.calls.append(("view", name))
@@ -131,8 +132,12 @@ def test_parquet_sink_idempotent(spark, tmp_path):
     out = run_extract(spark, pages, num_partitions=4)
 
     write_with_lineage(out, dest)
-    n1 = spark.read.parquet(f"{dest}/extracted").count()
+    first = spark.read.parquet(f"{dest}/extracted")
+    n1 = first.count()
     assert n1 > 0
+    # The seam stamps batch_ts for EVERY writer (batch job and both
+    # streaming sink variants), so one dest never mixes schemas.
+    assert "batch_ts" in first.columns
 
     # Same batch again: idempotent, no duplicates.
     write_with_lineage(out, dest)

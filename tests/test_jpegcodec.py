@@ -118,3 +118,37 @@ def test_corrupted_entropy_data_never_escapes_untyped():
             decode_jpeg(bytes(b2))
         except JpegCodecError:
             pass
+
+
+def test_restart_interval_round_trip():
+    """DRI + RST markers (spec conformance): identical pixels to the
+    non-restart encoding, DC prediction reset at each interval."""
+    px = ((np.arange(24 * 40, dtype=np.int64) * 37) % 256) \
+        .astype(np.uint8).reshape(24, 40)
+    _w, _h, base = decode_jpeg(encode_jpeg(px, quality=92))
+    for ri in (1, 2, 3, 7):
+        blob = encode_jpeg(px, quality=92, restart_interval=ri)
+        assert b"\xff\xdd" in blob  # DRI segment present
+        w, h, out = decode_jpeg(blob)
+        assert (w, h) == (40, 24)
+        assert np.array_equal(out, base)
+
+
+def test_fill_bytes_before_marker_tolerated():
+    px = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    sof = blob.index(b"\xff\xc0")
+    padded = bytes(blob[:sof]) + b"\xff\xff\xff" + bytes(blob[sof:])
+    w, h, out = decode_jpeg(padded)
+    assert (w, h) == (8, 8)
+    assert np.array_equal(out, decode_jpeg(bytes(blob))[2])
+
+
+def test_corrupt_restart_marker_raises_typed():
+    px = ((np.arange(16 * 16, dtype=np.int64)) % 256) \
+        .astype(np.uint8).reshape(16, 16)
+    blob = bytearray(encode_jpeg(px, restart_interval=1))
+    i = blob.index(b"\xff\xd0", blob.index(b"\xff\xda"))
+    blob[i + 1] = 0xC8  # not an RST code
+    with pytest.raises(JpegCodecError):
+        decode_jpeg(bytes(blob))
