@@ -70,7 +70,11 @@ def worker(cpus: int, pages_path: str, runs: int) -> None:
         loads.append(float(open("/proc/loadavg").read().split()[0]))
         if len(times) >= runs:
             window = times[-runs:]
-            if statistics.median(window) <= 1.4 * min(window):
+            # Same two-sided criterion as bench.py: a tight window
+            # (max/min) whose median sits near the best sample seen —
+            # median-vs-min alone lets a single throttle spike through.
+            if (max(window) <= 1.35 * min(window)
+                    and statistics.median(window) <= 1.4 * min(times)):
                 break
             if len(times) >= max_runs:
                 break
