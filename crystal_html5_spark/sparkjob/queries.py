@@ -1135,6 +1135,65 @@ def _extract_pages(spark, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _warc_extract_pages(spark, sf_dir: str) -> DataFrame:
+    """Extraction from a WARC/1.0-encoded copy of the fixture (the
+    format real 100 TB web corpora ship in): pages are serialized to
+    WARC (one crawl-file blob per partition, warcinfo record included),
+    re-parsed by the distributed WARC reader, and pushed through the
+    same extraction job — graded against the SAME frozen oracle as
+    extract_pages, so a single byte lost or altered by the WARC
+    round-trip (url, capture timestamp feeding latest-capture dedup,
+    html payload) fails the hash."""
+    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+
+    def to_warc(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.sparkjob.warcio import write_warc
+
+        for batch in iterator:
+            rows = list(zip(
+                (u.as_py() for u in batch.column("url")),
+                (t.as_py() for t in batch.column("warc_ts")),
+                (h.as_py() for h in batch.column("html")),
+            ))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([write_warc(rows)], pa.binary())],
+                names=["content"],
+            )
+
+    def from_warc(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.sparkjob.warcio import parse_warc
+
+        for batch in iterator:
+            urls, tss, htmls = [], [], []
+            for blob in batch.column("content"):
+                for url, ts, html in parse_warc(blob.as_py()):
+                    urls.append(url)
+                    tss.append(ts)
+                    htmls.append(html)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(htmls, pa.binary())],
+                names=["url", "warc_ts", "html"],
+            )
+
+    warc = pages.mapInArrow(to_warc, "content binary")
+    restored = warc.mapInArrow(
+        from_warc, "url string, warc_ts timestamp, html binary")
+    out = run_extract(spark, restored)
+    return out.select(
+        "url",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        "n_nodes",
+        F.length("main_text").alias("main_len"),
+        "err",
+    ).orderBy("url")
+
+
 def _page_links(spark, sf_dir: str) -> DataFrame:
     """CSS-driven link extraction per page (a[href]); oracle-checked
     against the frozen in-process-engine output."""
@@ -1464,6 +1523,7 @@ QUERIES: dict = {
     "media_thumbs": _media_thumbs,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
     "extract_pages": _extract_pages,
+    "warc_extract_pages": _warc_extract_pages,
     "page_links": _page_links,
     "page_titles": _page_titles,
     "page_xpath_stats": _page_xpath_stats,
@@ -1526,6 +1586,14 @@ ORACLES: dict = {
         " ORDER BY url"
     ),
     "extract_pages": (
+        "SELECT url, text_sha256, n_nodes, main_len, err"
+        " FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY url"
+    ),
+    # warc_extract_pages: the WARC round-trip must reproduce the
+    # byte-identical extraction, so it shares extract_pages' oracle.
+    "warc_extract_pages": (
         "SELECT url, text_sha256, n_nodes, main_len, err"
         " FROM read_parquet('"
         f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"
