@@ -53,6 +53,18 @@ _K1_QUANT = np.array([
     72, 92, 95, 98, 112, 100, 103, 99,
 ], dtype=np.int32)
 
+# Annex K.2 chrominance quantization table.
+_K2_QUANT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
 # Annex K.3 / K.5 luminance Huffman specs: (BITS[1..16], HUFFVAL).
 _DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 _DC_VALS = tuple(range(12))
@@ -103,11 +115,12 @@ def _canonical_codes(bits, vals):
     return codes
 
 
-def _quant_table(quality: int) -> np.ndarray:
-    """K.1 scaled by the conventional libjpeg-style quality mapping."""
+def _quant_table(quality: int, base=None) -> np.ndarray:
+    """Annex K table scaled by the conventional libjpeg-style quality
+    mapping (K.1 luminance by default, pass _K2_QUANT for chroma)."""
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (_K1_QUANT * scale + 50) // 100
+    q = ((_K1_QUANT if base is None else base) * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int32)
 
 
@@ -142,89 +155,162 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(pixels, quality: int = 92,
-                restart_interval: int = 0) -> bytes:
-    """Encode an HxW uint8 grayscale array as baseline sequential JPEG.
+def _encode_block(bw, block, qt_mat, dc_codes, ac_codes, pred,
+                  a, zz):
+    """Encode one level-shifted 8x8 block; returns the new DC pred."""
+    coef = a @ block @ a.T
+    q = np.round(coef / qt_mat).astype(np.int64).ravel()[zz]
+    diff = int(q[0]) - pred
+    pred = int(q[0])
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        bits = diff if diff > 0 else diff + (1 << cat) - 1
+        bw.write(bits, cat)
+    run = 0
+    nz = np.nonzero(q[1:])[0]
+    last_nz = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last_nz + 1):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        cat = _category(v)
+        code, length = ac_codes[(run << 4) | cat]
+        bw.write(code, length)
+        bits = v if v > 0 else v + (1 << cat) - 1
+        bw.write(bits, cat)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return pred
 
-    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
-    every that many MCUs (byte-aligned, DC prediction reset) — the
-    error-resilience feature real encoders use on large images."""
+
+def _rgb_to_ycbcr(px: np.ndarray):
+    """JFIF/BT.601 full-range conversion, float planes."""
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = -h % mh
+    pw = -w % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")         if (ph or pw) else plane
+
+
+def encode_jpeg(pixels, quality: int = 92,
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """Encode uint8 pixels as baseline sequential JPEG.
+
+    HxW arrays encode as single-component grayscale; HxWx3 arrays as
+    YCbCr color (JFIF BT.601), ``subsampling`` '444' (no subsampling)
+    or '420' (2x2 chroma, the common web shape).  Chroma uses the
+    Annex K.2 quantization table (id 1); all components share the
+    luminance Huffman tables (conforming — ids are per-scan-component).
+    ``restart_interval`` > 0 emits DRI + RST0-7 every that many MCUs
+    (byte-aligned, DC prediction reset)."""
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 2 or px.size == 0:
-        raise JpegCodecError("encode_jpeg wants a non-empty HxW array")
-    h, w = px.shape
-    qt = _quant_table(quality)
-    qt_mat = qt.reshape(8, 8).astype(np.float64)
-    # Pad to 8x8 multiples by edge replication.
-    ph = (h + 7) & ~7
-    pw = (w + 7) & ~7
-    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge") \
-        .astype(np.float64) - 128.0
+    if px.size == 0 or px.ndim not in (2, 3) or             (px.ndim == 3 and px.shape[2] != 3):
+        raise JpegCodecError("encode_jpeg wants HxW or HxWx3 uint8")
+    if subsampling not in ("444", "420"):
+        raise JpegCodecError("subsampling must be '444' or '420'")
+    h, w = px.shape[:2]
+    qt_l = _quant_table(quality)
+    qts = [qt_l]
+    color = px.ndim == 3
+    if color:
+        qt_c = _quant_table(quality, _K2_QUANT)
+        qts.append(qt_c)
+        y, cb, cr = _rgb_to_ycbcr(px)
+        if subsampling == "420":
+            # Box-average 2x2 chroma (pad odd dims first).
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2,
+                             cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2,
+                             crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            hv = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qt_of = [0, 1, 1]
+    else:
+        planes = [px.astype(np.float64)]
+        hv = [(1, 1)]
+        qt_of = [0]
+    hmax = max(x for x, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Pad each plane to its MCU-aligned size and level-shift.
+    shifted = []
+    for plane, (ch, cv) in zip(planes, hv):
+        shifted.append(_pad_to(plane, 8 * mcuy * cv, 8 * mcux * ch)
+                       [:8 * mcuy * cv, :8 * mcux * ch] - 128.0)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
-    pred = 0
+    preds = [0] * len(planes)
     a = _DCT_A
     zz = np.array(ZIGZAG)
+    qt_mats = [q.reshape(8, 8).astype(np.float64) for q in qts]
     mcu = 0
     rst = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.pad_to_byte()
                 bw.out += bytes((0xFF, 0xD0 + rst))
                 rst = (rst + 1) % 8
-                pred = 0
+                preds = [0] * len(planes)
             mcu += 1
-            block = padded[by:by + 8, bx:bx + 8]
-            coef = a @ block @ a.T
-            q = np.round(coef / qt_mat).astype(np.int64).ravel()[zz]
-            # DC
-            diff = int(q[0]) - pred
-            pred = int(q[0])
-            cat = _category(diff)
-            code, length = dc_codes[cat]
-            bw.write(code, length)
-            if cat:
-                bits = diff if diff > 0 else diff + (1 << cat) - 1
-                bw.write(bits, cat)
-            # AC
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(q[1:])[0]
-            last_nz = int(nz[-1]) + 1 if nz.size else 0
-            for k in range(1, last_nz + 1):
-                v = int(q[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                cat = _category(v)
-                code, length = ac_codes[(run << 4) | cat]
-                bw.write(code, length)
-                bits = v if v > 0 else v + (1 << cat) - 1
-                bw.write(bits, cat)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+            for c, (plane, (ch, cv)) in enumerate(zip(shifted, hv)):
+                for vy in range(cv):
+                    for vx in range(ch):
+                        by = (my * cv + vy) * 8
+                        bx = (mx * ch + vx) * 8
+                        preds[c] = _encode_block(
+                            bw, plane[by:by + 8, bx:bx + 8],
+                            qt_mats[qt_of[c]], dc_codes, ac_codes,
+                            preds[c], a, zz)
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) \
             + body
 
-    dqt = seg(0xDB, b"\x00" + bytes(int(qt[z]) for z in ZIGZAG))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(int(qt_l[z]) for z in ZIGZAG))
+    if color:
+        dqt += seg(0xDB, b"\x01" + bytes(int(qts[1][z]) for z in ZIGZAG))
+    ncomp = len(planes)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    sos_body = bytes((ncomp,))
+    for c in range(ncomp):
+        ch, cv = hv[c]
+        sof_body += bytes((c + 1, (ch << 4) | cv, qt_of[c]))
+        sos_body += bytes((c + 1, 0x00))  # DC/AC table 0 for all
+    sos_body += b"\x00\x3f\x00"
+    sof = seg(0xC0, sof_body)
     dht = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) \
         + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     dri = (seg(0xDD, struct.pack(">H", restart_interval))
            if restart_interval else b"")
-    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    sos = seg(0xDA, sos_body)
     return (b"\xff\xd8" + dqt + sof + dht + dri + sos + scan
             + b"\xff\xd9")
 
@@ -298,10 +384,12 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg(data: bytes):
-    """Decode baseline grayscale JPEG -> (width, height, pixels HxW u8).
+    """Decode baseline sequential JPEG -> (width, height, pixels).
 
+    ``pixels`` is HxW uint8 for grayscale streams, HxWx3 RGB for
+    3-component YCbCr (4:4:4, 4:2:2, 4:4:0 and 4:2:0 sampling).
     Tables come from the stream's own DQT/DHT segments.  Raises
-    JpegCodecError for non-baseline, multi-component, or malformed
+    JpegCodecError for progressive/arithmetic/non-8-bit or malformed
     input."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegCodecError("not a JPEG (no SOI)")
@@ -310,8 +398,8 @@ def decode_jpeg(data: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = -1
-    qt_id = 0
-    dc_id = ac_id = 0
+    comps = []  # (comp_id, ch, cv, tq) in SOF order
+    scan_tabs = {}  # comp_id -> (dc_id, ac_id)
     scan_pos = -1
     dri = 0
     while pos + 4 <= n:
@@ -374,12 +462,19 @@ def decode_jpeg(data: bytes):
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegCodecError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise JpegCodecError("only single-component (grayscale)")
+            if ncomp not in (1, 3):
+                raise JpegCodecError("only 1 or 3 components")
             if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
                 raise JpegCodecError("implausible dimensions")
-            samp, qt_id = body[7], body[8]
-            if samp != 0x11:
+            if len(body) < 6 + 3 * ncomp:
+                raise JpegCodecError("short SOF")
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                ch, cv = samp >> 4, samp & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise JpegCodecError("sampling factor unsupported")
+                comps.append((cid, ch, cv, tq))
+            if ncomp == 1 and comps[0][1:3] != (1, 1):
                 raise JpegCodecError("subsampling unsupported for 1 comp")
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -392,57 +487,89 @@ def decode_jpeg(data: bytes):
             if w < 0:
                 raise JpegCodecError("SOS before SOF")
             ns = body[0]
-            if ns != 1:
-                raise JpegCodecError("multi-scan unsupported")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if ns != len(comps):
+                raise JpegCodecError("scan must cover all components")
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
             scan_pos = pos + 2 + size
             break
         pos += 2 + size
     if scan_pos < 0:
         raise JpegCodecError("no scan data")
-    qt = qtables.get(qt_id)
-    dc_tab = htables.get((0, dc_id))
-    ac_tab = htables.get((1, ac_id))
-    if qt is None or dc_tab is None or ac_tab is None:
-        raise JpegCodecError("missing table referenced by scan")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    tables = []
+    for cid, ch, cv, tq in comps:
+        qt = qtables.get(tq)
+        ids = scan_tabs.get(cid)
+        if qt is None or ids is None:
+            raise JpegCodecError("missing table referenced by scan")
+        dc_tab = htables.get((0, ids[0]))
+        ac_tab = htables.get((1, ids[1]))
+        if dc_tab is None or ac_tab is None:
+            raise JpegCodecError("missing Huffman table")
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8),
+                               dtype=np.float64))
+        tables.append((qt, dc_tab, ac_tab))
 
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     br = _BitReader(data, scan_pos)
     a = _DCT_A
-    pred = 0
+    preds = [0] * len(comps)
     unz = list(ZIGZAG)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 br.restart()
-                pred = 0
+                preds = [0] * len(comps)
             mcu += 1
-            zz = np.zeros(64, dtype=np.int64)
-            cat = _decode_huffman(br, dc_tab)
-            if cat:
-                pred += _extend(br.bits(cat), cat)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = _decode_huffman(br, ac_tab)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise JpegCodecError("AC index overrun")
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[unz] = zz
-            block = (coef.reshape(8, 8) * qt).astype(np.float64)
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = a.T @ block @ a
-    pixels = np.clip(np.round(out[:h, :w] + 128.0), 0, 255) \
-        .astype(np.uint8)
-    return w, h, pixels
+            for c, ((cid, ch, cv, _tq), plane) in \
+                    enumerate(zip(comps, planes)):
+                qt, dc_tab, ac_tab = tables[c]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = _decode_huffman(br, dc_tab)
+                        if cat:
+                            preds[c] += _extend(br.bits(cat), cat)
+                        zz[0] = preds[c]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman(br, ac_tab)
+                            r, sbits = rs >> 4, rs & 0x0F
+                            if sbits == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegCodecError("AC index overrun")
+                            zz[k] = _extend(br.bits(sbits), sbits)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[unz] = zz
+                        block = (coef.reshape(8, 8) * qt) \
+                            .astype(np.float64)
+                        by = (my * cv + vy) * 8
+                        bx = (mx * ch + vx) * 8
+                        plane[by:by + 8, bx:bx + 8] = a.T @ block @ a
+    # Upsample each component to full resolution and crop.
+    full = []
+    for (cid, ch, cv, _tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                       hmax // ch, axis=1)
+        full.append(up[:h, :w] + 128.0)
+    if len(full) == 1:
+        pixels = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, pixels
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

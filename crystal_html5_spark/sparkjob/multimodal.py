@@ -81,10 +81,20 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                     w = 16 + i % 31
                     h = 9 + i % 17
                     # Deterministic gradient+texture image; REAL
-                    # baseline-JPEG encoded (DCT + Huffman).
-                    px = ((i * 17 + np.arange(h * w, dtype=np.int64) * 3)
-                          % 256).astype(np.uint8).reshape(h, w)
-                    media.append(encode_jpeg(px, quality=92))
+                    # baseline-JPEG encoded (DCT + Huffman).  Alternate
+                    # grayscale and 4:2:0 YCbCr color so both decode
+                    # paths run in production.
+                    base = (i * 17 + np.arange(h * w, dtype=np.int64)
+                            * 3) % 256
+                    if (i // 5) % 2:
+                        px = base.astype(np.uint8).reshape(h, w)
+                        media.append(encode_jpeg(px, quality=92))
+                    else:
+                        px = np.stack(
+                            [(base + 85 * c) % 256 for c in range(3)],
+                            axis=1).astype(np.uint8).reshape(h, w, 3)
+                        media.append(encode_jpeg(px, quality=92,
+                                                 subsampling="420"))
                     mime.append("image/jpeg")
                 elif kind == 3:
                     nf = 2 + i % 3
@@ -420,6 +430,8 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
                         dec = "png"
                     elif mime == "image/jpeg":
                         _w, _h, px = decode_jpeg(blob)
+                        if px.ndim == 3:  # color: thumb the mean plane
+                            px = px.mean(axis=2).astype(np.uint8)
                         dec = "jpeg"
                     elif mime == "video/avi":
                         _w, _h, _fps, frames = decode_avi(blob)

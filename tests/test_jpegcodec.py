@@ -152,3 +152,41 @@ def test_corrupt_restart_marker_raises_typed():
     blob[i + 1] = 0xC8  # not an RST code
     with pytest.raises(JpegCodecError):
         decode_jpeg(bytes(blob))
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_color_round_trip(sub):
+    h, w = 24, 33
+    base = np.linspace(0, 255, w)
+    img = np.stack([np.tile(base, (h, 1)),
+                    np.tile(base[::-1], (h, 1)),
+                    np.full((h, w), 128.0)], axis=2).astype(np.uint8)
+    blob = encode_jpeg(img, quality=95, subsampling=sub)
+    w2, h2, out = decode_jpeg(blob)
+    assert (w2, h2) == (w, h) and out.shape == (h, w, 3)
+    # smooth gradients: 4:4:4 near-lossless, 4:2:0 bounded chroma error
+    tol = 2 if sub == "444" else 8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_color_restart_interval():
+    h, w = 20, 18
+    img = ((np.arange(h * w * 3, dtype=np.int64) * 11) % 256) \
+        .astype(np.uint8).reshape(h, w, 3)
+    plain = decode_jpeg(encode_jpeg(img, quality=92,
+                                    subsampling="420"))[2]
+    rst = decode_jpeg(encode_jpeg(img, quality=92, subsampling="420",
+                                  restart_interval=1))[2]
+    assert np.array_equal(plain, rst)
+
+
+def test_color_chroma_actually_decoded():
+    """A uniform-luma, strong-chroma image must come back colored —
+    byte stripes or a luma-only decode would return gray."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :8] = (200, 40, 40)   # reddish
+    img[:, 8:] = (40, 40, 200)   # bluish
+    _w, _h, out = decode_jpeg(encode_jpeg(img, quality=95))
+    left, right = out[:, :8].mean(axis=(0, 1)), out[:, 8:].mean(axis=(0, 1))
+    assert left[0] > left[2] + 50   # red dominates left
+    assert right[2] > right[0] + 50  # blue dominates right
