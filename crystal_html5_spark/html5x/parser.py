@@ -1051,7 +1051,8 @@ class Parser:
             d = d.replace("\x00", "")
             if d == "":
                 return True
-            self.reconstruct_active_formatting_elements()
+            if self.afe:
+                self.reconstruct_active_formatting_elements()
             self.add_text(d)
             if self.frameset_ok and d.lstrip(WHITE_SPACE) != "":
                 self.frameset_ok = False

@@ -1216,7 +1216,11 @@ class Tokenizer:
         if tt != END_TAG and self.n_attr_returned < len(self.attr):
             attrs = []
             append = attrs.append
-            for ks, ke, vs, ve in self.attr[self.n_attr_returned:]:
+            # n_attr_returned is 0 on the next_token flow: skip the
+            # list-copying slice for the common case.
+            pending = (self.attr if not self.n_attr_returned
+                       else self.attr[self.n_attr_returned:])
+            for ks, ke, vs, ve in pending:
                 raw_key = buf[ks:ke]
                 key_s = _KEY_CACHE.get(raw_key)
                 if key_s is None:
