@@ -1485,6 +1485,149 @@ ORDER BY doc_id
 
 # ------------------------------ registry ---------------------------------
 
+
+
+# --------------------------- URL hygiene ----------------------------------
+# Training-pipeline URL normalization (RFC 3986 case/port/fragment rules +
+# the practical utm_* strip), implemented TWICE with each engine's own
+# function set — Spark higher-order filter()/substring_index vs DuckDB
+# list_filter/split_part — so the oracle is a genuinely independent
+# replay, not a shared expression.  Messy inputs are derived
+# deterministically from doc_id (10 cycling patterns: host/scheme case,
+# default and non-default ports, fragments, utm params in several
+# positions, credentials, non-http schemes, scheme-less strings).
+#
+# Rules: lowercase scheme and authority; drop :80 (http) / :443 (https);
+# drop fragments; drop utm_* query params (and the '?' if none remain);
+# scheme-less inputs only get fragment/nothing cleanup; crawlable =
+# http(s), non-empty authority, no credentials.
+
+_URL_RAW_CASE = """CASE doc_id % 10
+  WHEN 0 THEN 'https://Host' || (doc_id % 97) || '.Example/p/' || doc_id
+  WHEN 1 THEN 'http://host' || (doc_id % 97) || '.example:80/p/' || doc_id
+  WHEN 2 THEN 'https://host' || (doc_id % 97)
+       || '.example:443/a/b/' || doc_id || '?utm_source=x&q=' || doc_id
+  WHEN 3 THEN 'https://host' || (doc_id % 97) || '.example/p/' || doc_id
+       || '#frag'
+  WHEN 4 THEN 'HTTPS://HOST' || (doc_id % 97) || '.example/p/' || doc_id
+       || '?utm_campaign=c'
+  WHEN 5 THEN 'ftp://host' || (doc_id % 97) || '.example/file/' || doc_id
+  WHEN 6 THEN 'https://user:pw@host' || (doc_id % 97) || '.example/p/'
+       || doc_id
+  WHEN 7 THEN 'https://host' || (doc_id % 97) || '.example:8443/p/'
+       || doc_id
+  WHEN 8 THEN 'https://host' || (doc_id % 97) || '.example/p/' || doc_id
+       || '?b=2&utm_medium=m&a=1'
+  ELSE 'relative/path/' || doc_id
+END"""
+
+_URL_NORMALIZE_SPARK = f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_RAW_CASE} AS url_raw FROM documents
+), parts AS (
+  SELECT doc_id, url_raw,
+    regexp_replace(url_raw, '#.*$', '') AS nofrag,
+    lower(regexp_extract(url_raw,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme
+  FROM raw
+), split1 AS (
+  SELECT *, CASE WHEN scheme <> ''
+                 THEN substring(nofrag, length(scheme) + 4) ELSE nofrag
+            END AS after_scheme
+  FROM parts
+), split2 AS (
+  SELECT *, regexp_extract(after_scheme, '^[^/?#]*', 0) AS authority
+  FROM split1
+), split3 AS (
+  SELECT *,
+    substring(after_scheme, length(authority) + 1) AS path_q,
+    CASE WHEN scheme = 'http'
+         THEN regexp_replace(lower(authority), ':80$', '')
+         WHEN scheme = 'https'
+         THEN regexp_replace(lower(authority), ':443$', '')
+         ELSE lower(authority) END AS auth_norm
+  FROM split2
+), split4 AS (
+  SELECT *,
+    substring_index(path_q, '?', 1) AS path,
+    CASE WHEN instr(path_q, '?') > 0
+         THEN array_join(filter(split(substring(path_q,
+                                      instr(path_q, '?') + 1), '&'),
+                                x -> NOT startswith(x, 'utm_')), '&')
+         ELSE '' END AS query_kept
+  FROM split3
+)
+SELECT doc_id, url_raw,
+  CASE WHEN scheme = '' THEN nofrag
+       ELSE scheme || '://' || auth_norm || path
+            || CASE WHEN query_kept <> '' THEN '?' || query_kept
+                    ELSE '' END
+  END AS url_norm,
+  CASE WHEN scheme = '' THEN ''
+       ELSE regexp_extract(auth_norm, '^(?:[^@]*@)?([^:]*)', 1)
+  END AS host,
+  (scheme IN ('http', 'https') AND authority <> ''
+   AND instr(authority, '@') = 0) AS crawlable
+FROM split4
+ORDER BY doc_id
+"""
+
+_URL_NORMALIZE_DUCK = f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_RAW_CASE} AS url_raw FROM documents
+), parts AS (
+  SELECT doc_id, url_raw,
+    regexp_replace(url_raw, '#.*$', '') AS nofrag,
+    lower(coalesce(regexp_extract(url_raw,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme
+  FROM raw
+), split1 AS (
+  SELECT *, CASE WHEN scheme <> ''
+                 THEN substr(nofrag, length(scheme) + 4) ELSE nofrag
+            END AS after_scheme
+  FROM parts
+), split2 AS (
+  SELECT *,
+    coalesce(regexp_extract(after_scheme, '^[^/?#]*', 0), '')
+        AS authority
+  FROM split1
+), split3 AS (
+  SELECT *,
+    substr(after_scheme, length(authority) + 1) AS path_q,
+    CASE WHEN scheme = 'http' AND lower(authority) LIKE '%:80'
+         THEN substr(lower(authority), 1, length(authority) - 3)
+         WHEN scheme = 'https' AND lower(authority) LIKE '%:443'
+         THEN substr(lower(authority), 1, length(authority) - 4)
+         ELSE lower(authority) END AS auth_norm
+  FROM split2
+), split4 AS (
+  SELECT *,
+    split_part(path_q, '?', 1) AS path,
+    CASE WHEN strpos(path_q, '?') > 0
+         THEN array_to_string(list_filter(
+                string_split(substr(path_q, strpos(path_q, '?') + 1),
+                             '&'),
+                x -> NOT starts_with(x, 'utm_')), '&')
+         ELSE '' END AS query_kept
+  FROM split3
+)
+SELECT doc_id, url_raw,
+  CASE WHEN scheme = '' THEN nofrag
+       ELSE scheme || '://' || auth_norm || path
+            || CASE WHEN query_kept <> '' THEN '?' || query_kept
+                    ELSE '' END
+  END AS url_norm,
+  CASE WHEN scheme = '' THEN ''
+       ELSE coalesce(regexp_extract(auth_norm,
+                     '^(?:[^@]*@)?([^:]*)', 1), '')
+  END AS host,
+  (scheme IN ('http', 'https') AND authority <> ''
+   AND strpos(authority, '@') = 0) AS crawlable
+FROM split4
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     # relational core (Catalyst-native)
     "pricing_summary": _sql(_PRICING_SUMMARY_SPARK),
@@ -1501,6 +1644,7 @@ QUERIES: dict = {
     "docs_stopword_punct": _sql(_docs_stopword_punct_sql("spark")),
     "docs_lang_stats": _sql(_DOCS_LANG_STATS),
     "docs_langid": _sql(_DOCS_LANGID),
+    "url_normalize": _sql(_URL_NORMALIZE_SPARK),
     "docs_fingerprint": _sql(_DOCS_FINGERPRINT_SPARK),
     "docs_minhash_sigs": _sql(_DOCS_MINHASH_SPARK),
     "docs_minhash_bands": _sql(_DOCS_MINHASH_BANDS_SPARK),
@@ -1548,6 +1692,7 @@ ORACLES: dict = {
     "docs_stopword_punct": _docs_stopword_punct_sql("duck"),
     "docs_lang_stats": _DOCS_LANG_STATS,
     "docs_langid": _DOCS_LANGID,
+    "url_normalize": _URL_NORMALIZE_DUCK,
     "docs_fingerprint": _DOCS_FINGERPRINT_DUCK,
     "docs_minhash_sigs": _DOCS_MINHASH_DUCK,
     "docs_minhash_bands": _DOCS_MINHASH_BANDS_DUCK,

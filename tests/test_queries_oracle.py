@@ -162,3 +162,15 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.schema is not None
+
+
+def test_url_normalize_plan_is_jvm_only(spark):
+    """URL hygiene must stay in whole-stage codegen: string/higher-order
+    built-ins only, no Python UDF (the 100 TB hot path)."""
+    from crystal_html5_spark.sparkjob.queries import QUERIES
+
+    plan = QUERIES["url_normalize"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
