@@ -122,6 +122,34 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+
+# Tumbling-window event aggregation — the batch counterpart of
+# streaming.windowed_event_counts (same 10-minute windows; watermarking
+# is meaningless on a bounded table).  Sums are integer-cent quantized
+# like event_type_stats so the cross-engine hash cannot hinge on float
+# summation order.  DuckDB buckets with time_bucket (epoch-aligned for
+# 10-minute intervals, same boundaries as Spark's window()).
+_EVENTS_WINDOWED_SPARK = """
+SELECT w.start AS w_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM (SELECT window(ts, '10 minutes') AS w, event_type, value
+      FROM events)
+GROUP BY w, event_type
+ORDER BY w_start, event_type
+"""
+
+_EVENTS_WINDOWED_DUCK = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
 # ------------------------ training-data ops ------------------------------
 
 # Gaps-and-islands sessionization (30-min inactivity gap) — the batch
@@ -1636,6 +1664,7 @@ QUERIES: dict = {
     "top_orders_per_customer": _sql(_TOP_ORDERS_PER_CUSTOMER),
     "latest_event_per_user": _sql(_LATEST_EVENT_PER_USER),
     "event_type_stats": _sql(_EVENT_TYPE_STATS),
+    "events_windowed": _sql(_EVENTS_WINDOWED_SPARK),
     "events_sessionize": _sql(_EVENTS_SESSIONIZE),
     # training-data ops over documents
     "docs_dedup_exact": _sql(_DOCS_DEDUP_EXACT),
@@ -1685,6 +1714,7 @@ ORACLES: dict = {
     "top_orders_per_customer": _TOP_ORDERS_PER_CUSTOMER,
     "latest_event_per_user": _LATEST_EVENT_PER_USER,
     "event_type_stats": _EVENT_TYPE_STATS,
+    "events_windowed": _EVENTS_WINDOWED_DUCK,
     "events_sessionize": _EVENTS_SESSIONIZE,
     "docs_dedup_exact": _DOCS_DEDUP_EXACT,
     "docs_token_stats": _DOCS_TOKEN_STATS_DUCK,

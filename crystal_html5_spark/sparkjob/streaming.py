@@ -57,6 +57,29 @@ SESSION_STATE_DDL = (
 )
 
 
+def windowed_event_counts(events: DataFrame,
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical
+    Structured-Streaming late-data pattern: event-time windows close
+    once the watermark (max event time − delay) passes their end, the
+    closed result is emitted EXACTLY ONCE in append mode, and rows
+    arriving later than the watermark are dropped instead of corrupting
+    an already-emitted window.  State size is bounded by
+    (delay / window) windows per key — this is what makes the operator
+    safe on an unbounded 100 TB/day feed, where an unwatermarked
+    groupBy would grow state forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("w_start"),
+                F.col("win.end").alias("w_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                       watermark: str = "1 hour") -> DataFrame:
     """Custom stateful operator: per-user session windows with an

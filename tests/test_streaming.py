@@ -162,3 +162,83 @@ def test_stream_idempotent_sink_survives_checkpoint_reset(
     assert after.count() == n1
     keys = after.select("url", "warc_ts").collect()
     assert len(keys) == len({(r["url"], r["warc_ts"]) for r in keys})
+
+
+def _write_events(rows, path: pathlib.Path, name: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    table = pa.Table.from_arrays(
+        [pa.array(cols[0], pa.timestamp("us")),
+         pa.array(cols[1], pa.string()),
+         pa.array(cols[2], pa.float64())],
+        names=["ts", "event_type", "value"],
+    )
+    path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, path / name)
+
+
+def test_windowed_agg_drops_late_data(spark, tmp_path_factory):
+    """Watermark semantics end-to-end: a closed window is emitted once
+    (append mode), and a row arriving after the watermark passed the
+    window's end is DROPPED, not re-aggregated."""
+    import datetime as dt
+
+    from crystal_html5_spark.sparkjob.streaming import (
+        windowed_event_counts,
+    )
+
+    base = tmp_path_factory.mktemp("winagg")
+    input_dir = base / "in"
+    out_dir = str(base / "out")
+    cp = str(base / "cp")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def run_once():
+        events = (
+            spark.readStream.schema("ts timestamp, event_type string,"
+                                    " value double")
+            .parquet(str(input_dir))
+        )
+        q = (windowed_event_counts(events)
+             .writeStream.format("parquet")
+             .outputMode("append")
+             .option("path", out_dir)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    # Batch 1: three on-time rows in the 10:00-10:10 window, plus a row
+    # at 11:00 that advances the watermark to 10:30 — past the window's
+    # end, so it closes and is emitted.
+    _write_events(
+        [(t0, "click", 1.0),
+         (t0 + dt.timedelta(minutes=4), "click", 2.0),
+         (t0 + dt.timedelta(minutes=9), "view", 5.0),
+         (t0 + dt.timedelta(minutes=60), "click", 1.0)],
+        input_dir, "b1.parquet")
+    run_once()
+    got1 = {(r["w_start"], r["event_type"]): (r["n_events"],
+                                              r["sum_value"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {(t0, "click"): (2, 3.0),
+                    (t0, "view"): (1, 5.0)}
+
+    # Batch 2: a LATE click at 10:05 (watermark already 10:30) must be
+    # dropped; a row at 12:00 advances the watermark past 11:00-11:10,
+    # closing that window with exactly its on-time row.
+    _write_events(
+        [(t0 + dt.timedelta(minutes=5), "click", 100.0),
+         (t0 + dt.timedelta(minutes=120), "view", 1.0)],
+        input_dir, "b2.parquet")
+    run_once()
+    got2 = {(r["w_start"], r["event_type"]): (r["n_events"],
+                                              r["sum_value"])
+            for r in spark.read.parquet(out_dir).collect()}
+    # The 10:00 window result is UNCHANGED (late row dropped, no
+    # duplicate emission), and the 11:00 window appeared.
+    assert got2 == {(t0, "click"): (2, 3.0),
+                    (t0, "view"): (1, 5.0),
+                    (t0 + dt.timedelta(minutes=60), "click"): (1, 1.0)}
