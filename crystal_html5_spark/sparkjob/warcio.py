@@ -153,3 +153,110 @@ def read_warc_pages(spark, warc_dir: str):
 
     return files.mapInArrow(
         records, "url string, warc_ts timestamp, html binary")
+
+
+def write_wet(rows, warcinfo: bytes = b"format: WET\r\n") -> bytes:
+    """Serialize (url, warc_ts, text bytes) rows as WET — the WARC
+    variant real pipelines emit for extracted text: ``conversion``
+    records whose block is the raw text (no HTTP envelope), preceded by
+    a ``warcinfo`` record, per the Common-Crawl-published WET layout."""
+    out = bytearray()
+
+    def record(headers, block: bytes) -> None:
+        out.extend(b"WARC/1.0" + _CRLF)
+        for k, v in headers:
+            out.extend(k + b": " + v + _CRLF)
+        out.extend(b"Content-Length: " + str(len(block)).encode() + _CRLF)
+        out.extend(_CRLF)
+        out.extend(block)
+        out.extend(_CRLF + _CRLF)
+
+    record([(b"WARC-Type", b"warcinfo"),
+            (b"Content-Type", b"application/warc-fields")], warcinfo)
+    for url, ts, text in rows:
+        iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+        record([
+            (b"WARC-Type", b"conversion"),
+            (b"WARC-Target-URI", url.encode()),
+            (b"WARC-Date", iso),
+            (b"Content-Type", b"text/plain"),
+        ], text)
+    return bytes(out)
+
+
+def parse_wet(data: bytes):
+    """Yield (url, warc_ts, text bytes) from WET conversion records
+    (same record grammar as parse_warc; the block IS the text)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        eol = data.find(_CRLF, pos)
+        if eol == -1 or not data[pos:eol].startswith(b"WARC/"):
+            raise WarcError("bad WARC version line")
+        pos = eol + 2
+        headers: dict[bytes, bytes] = {}
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol == -1:
+                raise WarcError("truncated header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            sep = line.find(b":")
+            if sep == -1:
+                raise WarcError("malformed header line")
+            headers[line[:sep].strip().lower()] = line[sep + 1:].strip()
+        try:
+            length = int(headers[b"content-length"])
+        except (KeyError, ValueError) as exc:
+            raise WarcError("missing/invalid Content-Length") from exc
+        if length < 0 or pos + length > n:
+            raise WarcError("truncated record block")
+        block = data[pos:pos + length]
+        pos += length
+        if data[pos:pos + 4] != _CRLF + _CRLF:
+            raise WarcError("missing record terminator")
+        pos += 4
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode(
+            "utf-8", "replace")
+        date = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        try:
+            ts = dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError as exc:
+            raise WarcError("bad WARC-Date") from exc
+        yield url, ts, block
+
+
+def write_wet_sink(extracted, out_dir: str) -> None:
+    """Distributed WET sink: each partition of the extracted frame
+    becomes one .warc.wet segment file (the corpus-native layout —
+    thousands of independently readable segments at 100 TB).  Pure
+    foreachPartition file emit; idempotent per task via deterministic
+    segment names + atomic rename."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(it) -> None:
+        import os as _os
+
+        rows = [(r["url"], r["warc_ts"], bytes(r["text"])) for r in it]
+        if not rows:
+            return
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = _os.path.join(out_dir, f"part-{pid:05d}.warc.wet")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(write_wet(rows))
+        _os.replace(tmp, final)  # atomic: re-run overwrites, no torn file
+
+    extracted.select("url", "warc_ts", "text").foreachPartition(emit)
