@@ -1163,15 +1163,16 @@ def _extract_pages(spark, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
-def _warc_extract_pages(spark, sf_dir: str) -> DataFrame:
-    """Extraction from a WARC/1.0-encoded copy of the fixture (the
-    format real 100 TB web corpora ship in): pages are serialized to
-    WARC (one crawl-file blob per partition, warcinfo record included),
-    re-parsed by the distributed WARC reader, and pushed through the
-    same extraction job — graded against the SAME frozen oracle as
-    extract_pages, so a single byte lost or altered by the WARC
-    round-trip (url, capture timestamp feeding latest-capture dedup,
-    html payload) fails the hash."""
+def _warc_extract_pages_impl(spark, gz: bool) -> DataFrame:
+    """Extraction from a WARC-encoded copy of the fixture (the format
+    real 100 TB web corpora ship in): pages are serialized to WARC (one
+    crawl-file blob per partition, warcinfo record included; per-record
+    gzip members when ``gz`` — the .warc.gz layout Common Crawl
+    publishes), re-parsed by the distributed WARC reader, and pushed
+    through the same extraction job — graded against the SAME frozen
+    oracle as extract_pages, so a single byte lost or altered by the
+    WARC round-trip (url, capture timestamp feeding latest-capture
+    dedup, html payload, gzip member framing) fails the hash."""
     pages = _pages_fixed(spark).select("url", "warc_ts", "html")
 
     def to_warc(iterator):
@@ -1186,7 +1187,7 @@ def _warc_extract_pages(spark, sf_dir: str) -> DataFrame:
                 (h.as_py() for h in batch.column("html")),
             ))
             yield pa.RecordBatch.from_arrays(
-                [pa.array([write_warc(rows)], pa.binary())],
+                [pa.array([write_warc(rows, gz=gz)], pa.binary())],
                 names=["content"],
             )
 
@@ -1220,6 +1221,14 @@ def _warc_extract_pages(spark, sf_dir: str) -> DataFrame:
         F.length("main_text").alias("main_len"),
         "err",
     ).orderBy("url")
+
+
+def _warc_extract_pages(spark, sf_dir: str) -> DataFrame:
+    return _warc_extract_pages_impl(spark, gz=False)
+
+
+def _warc_gz_extract_pages(spark, sf_dir: str) -> DataFrame:
+    return _warc_extract_pages_impl(spark, gz=True)
 
 
 def _page_links(spark, sf_dir: str) -> DataFrame:
@@ -1697,6 +1706,7 @@ QUERIES: dict = {
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
     "extract_pages": _extract_pages,
     "warc_extract_pages": _warc_extract_pages,
+    "warc_gz_extract_pages": _warc_gz_extract_pages,
     "page_links": _page_links,
     "page_titles": _page_titles,
     "page_xpath_stats": _page_xpath_stats,
@@ -1769,6 +1779,14 @@ ORACLES: dict = {
     # warc_extract_pages: the WARC round-trip must reproduce the
     # byte-identical extraction, so it shares extract_pages' oracle.
     "warc_extract_pages": (
+        "SELECT url, text_sha256, n_nodes, main_len, err"
+        " FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY url"
+    ),
+    # warc_gz_extract_pages: per-record gzip members must be lossless
+    # framing too — same frozen oracle again.
+    "warc_gz_extract_pages": (
         "SELECT url, text_sha256, n_nodes, main_len, err"
         " FROM read_parquet('"
         f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"

@@ -7,71 +7,134 @@ WARC-Date, Content-Length, ...), a CRLF CRLF separator, ``Content-Length``
 bytes of block, and a CRLF CRLF record terminator.  ``response`` records
 carry an HTTP/1.1 response block whose body is the page HTML; other
 record types (warcinfo, request, metadata) are walked over and skipped,
-as a real crawl file requires.
+as a real crawl file requires.  One shared record walker serves both the
+WARC (response) and WET (conversion) views, so a framing fix lands once.
+
+Compression matches the corpus-native layout: ``.warc.gz`` files are a
+concatenation of per-record gzip members (each record its own member —
+what makes records independently seekable and files splittable at
+scale).  The parser auto-detects the gzip magic and iterates members;
+the writers emit deterministic members (mtime=0) when ``gz=True``.
+
+WARC-Date follows WARC/1.1 leniency: fractional seconds are accepted on
+parse and emitted when the timestamp has microseconds, so sub-second
+capture times round-trip exactly (they decide latest-capture dedup
+winners on ties).  A record with an unparsable date is skipped — one bad
+record must not abort a multi-GB segment (and kill its Spark task).
 
 Spark integration mirrors the scale pattern for raw-byte corpora: one
 WARC file per input split read as ``binaryFile`` (a real deployment
-points the same reader at thousands of .warc segments), parsed inside
-``mapInArrow`` so record parsing is distributed and the driver never
-sees a page byte.
+points the same reader at thousands of .warc(.gz) segments), parsed
+inside ``mapInArrow`` so record parsing is distributed and the driver
+never sees a page byte.  The WET sink streams records to the segment
+file as the Arrow batches arrive — never a partition-sized buffer.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import gzip as _gzip
 
 _CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
 
 
 class WarcError(ValueError):
     """Malformed WARC input."""
 
 
-def _http_response_block(html: bytes) -> bytes:
-    return (
+# ---------------------------------------------------------------- write
+
+def _format_warc_date(ts: dt.datetime) -> bytes:
+    """WARC-Date per WARC/1.1: whole seconds, or fractional when the
+    timestamp carries microseconds (lossless round-trip)."""
+    if ts.microsecond:
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ").encode()
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+
+
+def _record_bytes(headers: list, block: bytes) -> bytes:
+    """Serialize ONE record (version line, headers, Content-Length,
+    block, record terminator) — the unit both writers and the streaming
+    sink emit."""
+    out = bytearray(b"WARC/1.0" + _CRLF)
+    for k, v in headers:
+        out.extend(k + b": " + v + _CRLF)
+    out.extend(b"Content-Length: " + str(len(block)).encode() + _CRLF)
+    out.extend(_CRLF)
+    out.extend(block)
+    out.extend(_CRLF + _CRLF)
+    return bytes(out)
+
+
+def _member(rec: bytes, gz: bool) -> bytes:
+    """One file unit: the record plain, or as its own gzip member
+    (mtime=0 keeps output deterministic for byte-level round-trips)."""
+    return _gzip.compress(rec, 6, mtime=0) if gz else rec
+
+
+def _warcinfo_record(warcinfo: bytes) -> bytes:
+    return _record_bytes(
+        [(b"WARC-Type", b"warcinfo"),
+         (b"Content-Type", b"application/warc-fields")], warcinfo)
+
+
+def _response_record(url: str, ts: dt.datetime, html: bytes) -> bytes:
+    block = (
         b"HTTP/1.1 200 OK" + _CRLF
         + b"Content-Type: text/html; charset=UTF-8" + _CRLF
         + b"Content-Length: " + str(len(html)).encode() + _CRLF
         + _CRLF + html
     )
+    return _record_bytes([
+        (b"WARC-Type", b"response"),
+        (b"WARC-Target-URI", url.encode()),
+        (b"WARC-Date", _format_warc_date(ts)),
+        (b"Content-Type", b"application/http; msgtype=response"),
+    ], block)
 
 
-def write_warc(rows, warcinfo: bytes = b"software: spark-graft\r\n") \
-        -> bytes:
+def _conversion_record(url: str, ts: dt.datetime, text: bytes) -> bytes:
+    return _record_bytes([
+        (b"WARC-Type", b"conversion"),
+        (b"WARC-Target-URI", url.encode()),
+        (b"WARC-Date", _format_warc_date(ts)),
+        (b"Content-Type", b"text/plain"),
+    ], text)
+
+
+def write_warc(rows, warcinfo: bytes = b"software: spark-graft\r\n",
+               gz: bool = False) -> bytes:
     """Serialize (url, warc_ts datetime, html bytes) rows as WARC/1.0.
 
     Emits a leading ``warcinfo`` record like real crawler output, then
-    one ``response`` record per row."""
-    out = bytearray()
-
-    def record(headers: list[tuple[bytes, bytes]], block: bytes) -> None:
-        out.extend(b"WARC/1.0" + _CRLF)
-        for k, v in headers:
-            out.extend(k + b": " + v + _CRLF)
-        out.extend(b"Content-Length: " + str(len(block)).encode() + _CRLF)
-        out.extend(_CRLF)
-        out.extend(block)
-        out.extend(_CRLF + _CRLF)
-
-    record([(b"WARC-Type", b"warcinfo"),
-            (b"Content-Type", b"application/warc-fields")], warcinfo)
+    one ``response`` record per row.  ``gz=True`` emits each record as
+    its own gzip member (the .warc.gz layout Common Crawl publishes)."""
+    out = bytearray(_member(_warcinfo_record(warcinfo), gz))
     for url, ts, html in rows:
-        iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
-        block = _http_response_block(html)
-        record([
-            (b"WARC-Type", b"response"),
-            (b"WARC-Target-URI", url.encode()),
-            (b"WARC-Date", iso),
-            (b"Content-Type", b"application/http; msgtype=response"),
-        ], block)
+        out.extend(_member(_response_record(url, ts, html), gz))
     return bytes(out)
 
 
-def parse_warc(data: bytes):
-    """Yield (url, warc_ts datetime, html bytes) from WARC/1.0 bytes.
+def write_wet(rows, warcinfo: bytes = b"format: WET\r\n",
+              gz: bool = False) -> bytes:
+    """Serialize (url, warc_ts, text bytes) rows as WET — the WARC
+    variant real pipelines emit for extracted text: ``conversion``
+    records whose block is the raw text (no HTTP envelope), preceded by
+    a ``warcinfo`` record, per the Common-Crawl-published WET layout."""
+    out = bytearray(_member(_warcinfo_record(warcinfo), gz))
+    for url, ts, text in rows:
+        out.extend(_member(_conversion_record(url, ts, text), gz))
+    return bytes(out)
 
-    Skips non-response records; raises WarcError on structural damage
-    (bad version line, missing Content-Length, truncated block)."""
+
+# ---------------------------------------------------------------- parse
+
+def _iter_plain_records(data: bytes):
+    """Walk the WARC record grammar over uncompressed bytes, yielding
+    (headers dict, block bytes) per record.  Raises WarcError on
+    structural damage (bad version line, missing Content-Length,
+    truncated block)."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -108,15 +171,63 @@ def parse_warc(data: bytes):
         if data[pos:pos + 4] != _CRLF + _CRLF:
             raise WarcError("missing record terminator")
         pos += 4
-        if headers.get(b"warc-type") != b"response":
+        yield headers, block
+
+
+def _iter_records(data: bytes):
+    """Yield (headers, block) from WARC bytes, plain or .warc.gz.
+
+    Gzip input is walked member by member (per-record members, per the
+    corpus layout) so a reader never inflates more than one record at a
+    time; a member holding several records still parses."""
+    if data[:2] != _GZIP_MAGIC:
+        yield from _iter_plain_records(data)
+        return
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(31)  # wbits=31: gzip header + trailer
+        try:
+            chunk = d.decompress(data[pos:]) + d.flush()
+        except zlib.error as exc:
+            raise WarcError("corrupt gzip member") from exc
+        if not d.eof:
+            raise WarcError("truncated gzip member")
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            raise WarcError("empty gzip member")
+        pos += consumed
+        yield from _iter_plain_records(chunk)
+
+
+def _typed_records(data: bytes, warc_type: bytes):
+    """Shared WARC/WET view: records of ``warc_type`` as
+    (url, warc_ts datetime, block).  Records with an unparsable
+    WARC-Date are skipped — one bad record must not abort the segment."""
+    for headers, block in _iter_records(data):
+        if headers.get(b"warc-type") != warc_type:
             continue
         url = headers.get(b"warc-target-uri", b"").decode(
             "utf-8", "replace")
         date = headers.get(b"warc-date", b"").decode("ascii", "replace")
         try:
             ts = dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
-        except ValueError as exc:
-            raise WarcError("bad WARC-Date") from exc
+        except ValueError:
+            try:  # WARC/1.1 fractional seconds
+                ts = dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%S.%fZ")
+            except ValueError:
+                continue
+        yield url, ts, block
+
+
+def parse_warc(data: bytes):
+    """Yield (url, warc_ts datetime, html bytes) from WARC bytes
+    (plain or per-record-gzip .warc.gz).  Skips non-response records
+    and records with unparsable dates; raises WarcError on structural
+    damage."""
+    for url, ts, block in _typed_records(data, b"response"):
         # Split the HTTP response block: body follows the first CRLFCRLF.
         hdr_end = block.find(_CRLF + _CRLF)
         if hdr_end == -1:
@@ -124,14 +235,23 @@ def parse_warc(data: bytes):
         yield url, ts, block[hdr_end + 4:]
 
 
+def parse_wet(data: bytes):
+    """Yield (url, warc_ts, text bytes) from WET conversion records
+    (same record grammar as parse_warc; the block IS the text)."""
+    yield from _typed_records(data, b"conversion")
+
+
+# ---------------------------------------------------------------- spark
+
 def read_warc_pages(spark, warc_dir: str):
     """WARC directory -> pages DataFrame (url, warc_ts, html).
 
-    ``binaryFile`` gives one row per .warc file; record parsing runs
-    distributed in mapInArrow.  At 100 TB the same plan fans one task
-    per WARC segment (the format is designed for per-file splits)."""
+    ``binaryFile`` gives one row per .warc / .warc.gz file; record
+    parsing runs distributed in mapInArrow.  At 100 TB the same plan
+    fans one task per WARC segment (the format is designed for
+    per-file splits; per-record gzip members keep each inflate small)."""
     files = spark.read.format("binaryFile") \
-        .option("pathGlobFilter", "*.warc") \
+        .option("pathGlobFilter", "*.{warc,warc.gz}") \
         .load(warc_dir).select("content")
 
     def records(iterator):
@@ -155,108 +275,53 @@ def read_warc_pages(spark, warc_dir: str):
         records, "url string, warc_ts timestamp, html binary")
 
 
-def write_wet(rows, warcinfo: bytes = b"format: WET\r\n") -> bytes:
-    """Serialize (url, warc_ts, text bytes) rows as WET — the WARC
-    variant real pipelines emit for extracted text: ``conversion``
-    records whose block is the raw text (no HTTP envelope), preceded by
-    a ``warcinfo`` record, per the Common-Crawl-published WET layout."""
-    out = bytearray()
-
-    def record(headers, block: bytes) -> None:
-        out.extend(b"WARC/1.0" + _CRLF)
-        for k, v in headers:
-            out.extend(k + b": " + v + _CRLF)
-        out.extend(b"Content-Length: " + str(len(block)).encode() + _CRLF)
-        out.extend(_CRLF)
-        out.extend(block)
-        out.extend(_CRLF + _CRLF)
-
-    record([(b"WARC-Type", b"warcinfo"),
-            (b"Content-Type", b"application/warc-fields")], warcinfo)
-    for url, ts, text in rows:
-        iso = ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
-        record([
-            (b"WARC-Type", b"conversion"),
-            (b"WARC-Target-URI", url.encode()),
-            (b"WARC-Date", iso),
-            (b"Content-Type", b"text/plain"),
-        ], text)
-    return bytes(out)
-
-
-def parse_wet(data: bytes):
-    """Yield (url, warc_ts, text bytes) from WET conversion records
-    (same record grammar as parse_warc; the block IS the text)."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        while data[pos:pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            return
-        eol = data.find(_CRLF, pos)
-        if eol == -1 or not data[pos:eol].startswith(b"WARC/"):
-            raise WarcError("bad WARC version line")
-        pos = eol + 2
-        headers: dict[bytes, bytes] = {}
-        while True:
-            eol = data.find(_CRLF, pos)
-            if eol == -1:
-                raise WarcError("truncated header block")
-            line = data[pos:eol]
-            pos = eol + 2
-            if not line:
-                break
-            sep = line.find(b":")
-            if sep == -1:
-                raise WarcError("malformed header line")
-            headers[line[:sep].strip().lower()] = line[sep + 1:].strip()
-        try:
-            length = int(headers[b"content-length"])
-        except (KeyError, ValueError) as exc:
-            raise WarcError("missing/invalid Content-Length") from exc
-        if length < 0 or pos + length > n:
-            raise WarcError("truncated record block")
-        block = data[pos:pos + length]
-        pos += length
-        if data[pos:pos + 4] != _CRLF + _CRLF:
-            raise WarcError("missing record terminator")
-        pos += 4
-        if headers.get(b"warc-type") != b"conversion":
-            continue
-        url = headers.get(b"warc-target-uri", b"").decode(
-            "utf-8", "replace")
-        date = headers.get(b"warc-date", b"").decode("ascii", "replace")
-        try:
-            ts = dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
-        except ValueError as exc:
-            raise WarcError("bad WARC-Date") from exc
-        yield url, ts, block
-
-
-def write_wet_sink(extracted, out_dir: str) -> None:
+def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:
     """Distributed WET sink: each partition of the extracted frame
-    becomes one .warc.wet segment file (the corpus-native layout —
-    thousands of independently readable segments at 100 TB).  Pure
-    foreachPartition file emit; idempotent per task via deterministic
-    segment names + atomic rename."""
+    becomes one .warc.wet(.gz) segment file (the corpus-native layout —
+    thousands of independently readable segments at 100 TB).
+
+    Streaming by construction: rows arrive as Arrow batches (mapInArrow,
+    no per-row pickling) and each record is serialized and written to
+    the segment file as it is consumed — peak memory is one Arrow batch
+    plus one record, never the partition.  Idempotent per task via
+    deterministic segment names + atomic rename; triggered with a
+    row-free ``noop`` write so no data returns to the driver."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if gz else ".warc.wet"
 
-    def emit(it) -> None:
+    def emit(iterator):
         import os as _os
 
-        rows = [(r["url"], r["warc_ts"], bytes(r["text"])) for r in it]
-        if not rows:
-            return
+        import pyarrow as pa
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        final = _os.path.join(out_dir, f"part-{pid:05d}.warc.wet")
-        tmp = final + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(write_wet(rows))
-        _os.replace(tmp, final)  # atomic: re-run overwrites, no torn file
+        f = None
+        tmp = final = None
+        wrote = 0
+        for batch in iterator:
+            urls = batch.column("url")
+            tss = batch.column("warc_ts")
+            texts = batch.column("text")
+            for i in range(batch.num_rows):
+                if f is None:  # open lazily: empty partitions emit nothing
+                    pid = TaskContext.get().partitionId()
+                    final = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
+                    tmp = final + ".tmp"
+                    f = open(tmp, "wb")
+                    f.write(_member(_warcinfo_record(b"format: WET\r\n"),
+                                    gz))
+                rec = _conversion_record(
+                    urls[i].as_py(), tss[i].as_py(), bytes(texts[i].as_py()))
+                f.write(_member(rec, gz))
+                wrote += 1
+        if f is not None:
+            f.close()
+            _os.replace(tmp, final)  # atomic: re-run overwrites cleanly
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([wrote], pa.int64())], names=["n"])
 
-    extracted.select("url", "warc_ts", "text").foreachPartition(emit)
+    (extracted.select("url", "warc_ts", "text")
+        .mapInArrow(emit, "n bigint")
+        .write.mode("overwrite").format("noop").save())
