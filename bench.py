@@ -119,6 +119,7 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
+    timings_all: dict[str, float] = {}  # unconditional full-sample median
     samples: dict[str, dict] = {}
 
     def loadavg1() -> float:
@@ -166,6 +167,12 @@ def main() -> None:
             window = runs
         samples[name] = {"all": runs, "window": window, "loadavg": loads}
         timings[name] = sorted(window)[len(window) // 2]
+        # The stopping rule conditions on the reported statistic (stable
+        # tail), which biases the windowed median optimistic if real
+        # sustained contention briefly eases.  Report the unconditional
+        # median over EVERY sample alongside it so the artifact carries
+        # both views, not just the favorable one.
+        timings_all[name] = sorted(runs)[len(runs) // 2]
 
     n_docs = {}
 
@@ -228,6 +235,13 @@ def main() -> None:
         "headline_samples": samples["extract_pipeline"]["window"],
         "headline_all_samples": samples["extract_pipeline"]["all"],
         "headline_loadavg": samples["extract_pipeline"]["loadavg"],
+        # Unconditional medians (every sample, no window selection) —
+        # the conservative companion to the windowed numbers above.
+        "queries_full_median": timings_all,
+        "value_full_median": round(sum(timings_all.values()), 3),
+        "docs_per_sec_full_median": round(
+            n_docs.get("n", 0) / timings_all["extract_pipeline"], 1)
+        if timings_all.get("extract_pipeline") else 0.0,
     }
     spark.stop()
 
