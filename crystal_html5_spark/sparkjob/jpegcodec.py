@@ -1,20 +1,21 @@
-"""Pure-stdlib+numpy baseline JPEG codec (grayscale subset).
+"""Pure-stdlib+numpy baseline JPEG codec (grayscale + YCbCr color).
 
 Implements the real thing — forward/inverse 8x8 DCT, quantization,
 zigzag, category/EXTEND coding and canonical Huffman entropy coding —
-for baseline sequential (SOF0) single-component images, per the public
-ITU-T T.81 spec (Annex F procedures, Annex K reference tables).  The
-decoder builds its Huffman tables and quantization tables from the
-stream's own DHT/DQT segments, so it decodes any conforming baseline
-grayscale JPEG, not just this module's output.
+for baseline sequential (SOF0) images per the public ITU-T T.81 spec
+(Annex F procedures, Annex K reference tables): single-component
+grayscale AND 3-component YCbCr with 4:4:4, 4:2:2, 4:4:0 and 4:2:0
+chroma subsampling on decode (the encoder emits grayscale or 4:2:0
+color).  The decoder builds its Huffman tables and quantization tables
+from the stream's own DHT/DQT segments, so it decodes any conforming
+baseline JPEG in that scope, not just this module's output.
 
 Restart intervals (DRI + RST0-7) and 0xFF fill bytes — both spec-
 conforming — are handled on decode, and the encoder can emit restart
-markers.  Scope is honest: multi-component (color) and progressive
-(SOF2) streams raise ``JpegCodecError`` and the caller's feature path
-falls back; the synth media pipeline only emits the supported subset.
-Complements pngcodec.py (PNG) and wavcodec.py (WAV + JPEG header-only
-parse).
+markers.  Remaining honest fallback: progressive (SOF2) and other
+component counts raise ``JpegCodecError`` and the caller's feature
+path falls back to header-only features.  Complements pngcodec.py
+(PNG) and wavcodec.py (WAV + JPEG header-only parse).
 """
 
 from __future__ import annotations

@@ -832,7 +832,11 @@ def _emb_rowcount(sf_dir: str, default: int = 500) -> int:
 
     Handles both a single file and a multi-file dataset directory; the
     default (the sf0.01 rowcount, where the driver runs oracles) covers
-    oracle construction when the path is absent entirely."""
+    oracle construction when the path is absent entirely.  The fallback
+    is LOUD (stderr warning): a silent default would mask a testdata
+    layout change, and the ann_ivf oracle only matches the Spark side
+    when both derive the same k — i.e. when grading runs at sf0.01
+    (N=500), per the documented driver contract."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -844,6 +848,14 @@ def _emb_rowcount(sf_dir: str, default: int = 500) -> int:
             return sum(f.metadata.num_rows
                        for f in (pq.ParquetFile(p) for p in ds.files))
         except Exception:  # noqa: BLE001 — path absent: oracle default
+            import sys
+
+            print(
+                f"[queries] WARNING: {path} unreadable; using default"
+                f" embeddings rowcount {default} (valid only for the"
+                " sf0.01 oracle contract)",
+                file=sys.stderr,
+            )
             return default
 
 
