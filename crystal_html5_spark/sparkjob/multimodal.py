@@ -10,8 +10,9 @@ Decode honesty, by mime:
 - ``audio/wav``  — REAL PCM decode (wavcodec.py): sample rate, channels
   and amplitude features from the actual samples.
 - ``image/jpeg`` — REAL pixel decode (jpegcodec.py: stream-defined
-  Huffman tables, dequantize, inverse DCT) for baseline grayscale;
-  non-baseline/color streams fall back to header dimensions
+  Huffman tables, dequantize, inverse DCT) for baseline sequential
+  (SOF0) and progressive (SOF2) streams, grayscale and YCbCr color;
+  anything outside that scope falls back to header dimensions
   ('jpeg-header') via wavcodec.jpeg_dimensions.
 - ``video/avi`` — REAL container parse + frame decode (avicodec.py):
   RIFF/LIST walk, avih/strf headers, uncompressed 8-bit DIB frames;
@@ -81,20 +82,26 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                     w = 16 + i % 31
                     h = 9 + i % 17
                     # Deterministic gradient+texture image; REAL
-                    # baseline-JPEG encoded (DCT + Huffman).  Alternate
-                    # grayscale and 4:2:0 YCbCr color so both decode
-                    # paths run in production.
+                    # JPEG encoded (DCT + Huffman).  Alternate grayscale
+                    # and 4:2:0 YCbCr color, and sequential (SOF0) vs
+                    # progressive (SOF2) streams, so all four decode
+                    # paths run in production.  Progressive re-encodes
+                    # the same quantized coefficients, so decoded pixels
+                    # (and every media oracle) are unchanged.
                     base = (i * 17 + np.arange(h * w, dtype=np.int64)
                             * 3) % 256
+                    prog = (i // 10) % 2 == 1
                     if (i // 5) % 2:
                         px = base.astype(np.uint8).reshape(h, w)
-                        media.append(encode_jpeg(px, quality=92))
+                        media.append(encode_jpeg(px, quality=92,
+                                                 progressive=prog))
                     else:
                         px = np.stack(
                             [(base + 85 * c) % 256 for c in range(3)],
                             axis=1).astype(np.uint8).reshape(h, w, 3)
                         media.append(encode_jpeg(px, quality=92,
-                                                 subsampling="420"))
+                                                 subsampling="420",
+                                                 progressive=prog))
                     mime.append("image/jpeg")
                 elif kind == 3:
                     nf = 2 + i % 3

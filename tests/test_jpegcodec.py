@@ -190,3 +190,95 @@ def test_color_chroma_actually_decoded():
     left, right = out[:, :8].mean(axis=(0, 1)), out[:, 8:].mean(axis=(0, 1))
     assert left[0] > left[2] + 50   # red dominates left
     assert right[2] > right[0] + 50  # blue dominates right
+
+
+# ---------------------------------------------------------- progressive
+
+def test_progressive_emits_sof2_and_multiple_scans():
+    px = (np.arange(24 * 40, dtype=np.int64) * 7 % 256) \
+        .astype(np.uint8).reshape(24, 40)
+    blob = encode_jpeg(px, progressive=True)
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+    # gray progression: DC first + AC first + AC refine + DC refine
+    assert blob.count(b"\xff\xda") == 4
+    cblob = encode_jpeg(np.stack([px] * 3, axis=2), progressive=True,
+                        subsampling="420")
+    # color: DC first + 3x AC first + 3x AC refine + DC refine
+    assert cblob.count(b"\xff\xda") == 8
+
+
+def test_progressive_decodes_identical_to_baseline_gray():
+    """Same quantized coefficients -> byte-identical pixels: the
+    progressive re-encode must reconstruct exactly what the sequential
+    stream does, across sizes that exercise partial MCUs and EOB runs."""
+    rng = np.random.default_rng(11)
+    shapes = [(8, 8), (16, 24), (9, 17), (40, 33), (64, 64)]
+    for shape in shapes:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for q in (35, 75, 92):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg(img, quality=q,
+                                           progressive=True))
+            assert base[:2] == prog[:2]
+            assert np.array_equal(base[2], prog[2]), (shape, q)
+
+
+def test_progressive_decodes_identical_to_baseline_color():
+    rng = np.random.default_rng(12)
+    for shape in [(16, 24, 3), (9, 17, 3), (63, 65, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for sub in ("444", "420"):
+            base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            prog = decode_jpeg(encode_jpeg(img, subsampling=sub,
+                                           progressive=True))
+            assert np.array_equal(base[2], prog[2]), (shape, sub)
+
+
+def test_progressive_eobrun_heavy_streams():
+    """Flat/smooth images drive the EOB-run aggregation paths (EOBn
+    with n>0 plus correction bits inside covered blocks)."""
+    flat = np.full((50, 70), 128, np.uint8)
+    base = decode_jpeg(encode_jpeg(flat))
+    prog = decode_jpeg(encode_jpeg(flat, progressive=True))
+    assert np.array_equal(base[2], prog[2])
+    yy, xx = np.mgrid[0:100, 0:140]
+    grad = ((yy + xx) // 4 % 256).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(grad, 75))
+    prog = decode_jpeg(encode_jpeg(grad, 75, progressive=True))
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_progressive_sparse_high_freq_zrl_refinement():
+    """A single hot pixel per block puts long zero runs before the
+    significant coefficient — ZRL emission inside first AND refinement
+    scans, with correction bits crossing the runs."""
+    img = np.zeros((32, 48), np.uint8)
+    img[::7, ::11] = 255
+    base = decode_jpeg(encode_jpeg(img, 90))
+    prog = decode_jpeg(encode_jpeg(img, 90, progressive=True))
+    assert np.array_equal(base[2], prog[2])
+
+
+def test_progressive_truncation_and_bitflips_raise_typed():
+    img = (np.arange(40 * 56, dtype=np.int64) * 13 % 256) \
+        .astype(np.uint8).reshape(40, 56)
+    blob = encode_jpeg(img, progressive=True)
+    for cut in (24, len(blob) // 3, len(blob) - 5):
+        try:
+            decode_jpeg(blob[:cut])
+        except JpegCodecError:
+            pass  # typed rejection is the contract
+    rng = np.random.default_rng(5)
+    for _ in range(150):
+        corrupt = bytearray(blob)
+        corrupt[rng.integers(2, len(blob) - 2)] ^= 1 << rng.integers(8)
+        try:
+            decode_jpeg(bytes(corrupt))
+        except JpegCodecError:
+            pass  # either decodes (to something) or raises typed
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(JpegCodecError):
+        encode_jpeg(np.zeros((8, 8), np.uint8), restart_interval=2,
+                    progressive=True)
