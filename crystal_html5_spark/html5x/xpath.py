@@ -371,6 +371,42 @@ def _children(n: Node):
     return out
 
 
+def _child_elements(n: Node, val: str):
+    """child axis + name test fused: skip the full-children list and the
+    per-node _node_test call (profiled: the generic listcomp + call pair
+    dominated XPath eval time on //-heavy queries)."""
+    out = []
+    star = val == "*"
+    c = n.first_child
+    while c is not None:
+        if c.type == ELEMENT_NODE and (star or c.data == val):
+            out.append(c)
+        c = c.next_sibling
+    return out
+
+
+def _descendant_elements(n: Node, val: str):
+    """descendant axis + name test fused (same preorder walk as
+    _descendants, collecting only matching elements inline)."""
+    out: list[Node] = []
+    append = out.append
+    star = val == "*"
+    cur = n.first_child
+    while cur is not None:
+        if cur.type == ELEMENT_NODE and (star or cur.data == val):
+            append(cur)
+        if cur.first_child is not None:
+            cur = cur.first_child
+            continue
+        while cur is not None and cur is not n \
+                and cur.next_sibling is None:
+            cur = cur.parent
+        if cur is None or cur is n:
+            break
+        cur = cur.next_sibling
+    return out
+
+
 def _descendants(n: Node):
     """Preorder descendants via the sibling/child pointers directly — no
     per-node child-list materialization (profiled hotspot: the list
@@ -696,6 +732,16 @@ class _Evaluator:
         raise XPathError(f"bad expression {op!r}")
 
     def _filter(self, nodes, pred):
+        if pred[0] == "num":
+            # Literal positional predicate [k]: one index instead of an
+            # eval per candidate (identical semantics — k must equal the
+            # 1-based proximity position exactly, so non-integers and
+            # out-of-range select nothing).
+            k = pred[1]
+            i = int(k)
+            if i != k or not 1 <= i <= len(nodes):
+                return []
+            return [nodes[i - 1]]
         out = []
         size = len(nodes)
         for i, x in enumerate(nodes):
@@ -711,9 +757,22 @@ class _Evaluator:
         for axis, test, preds in steps:
             single = len(result) == 1
             gathered = []
+            # Fused fast paths for the dominant step shapes (descendant
+            # or child axis + element name test on a plain node):
+            # identical semantics to the generic listcomp below — name
+            # tests on non-attribute axes select elements whose data
+            # matches — minus the intermediate full-axis list and the
+            # per-node _node_test call.
+            name_fast = test[0] == "name" and (
+                axis == "descendant" or axis == "child")
             for ctx in result:
-                cands = [x for x in _axis_nodes(axis, ctx)
-                         if _node_test(axis, test, x)]
+                if name_fast and type(ctx) is Node:
+                    cands = (_descendant_elements(ctx, test[1])
+                             if axis == "descendant"
+                             else _child_elements(ctx, test[1]))
+                else:
+                    cands = [x for x in _axis_nodes(axis, ctx)
+                             if _node_test(axis, test, x)]
                 for pred in preds:
                     cands = self._filter(cands, pred)
                 gathered.extend(cands)
