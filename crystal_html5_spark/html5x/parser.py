@@ -431,12 +431,15 @@ class Parser:
         if self.foster_parenting and self.should_foster_parent():
             self.foster_parent(Node(TEXT_NODE, "", text))
             return
-        t = self.top()
+        oe = self.oe
+        t = oe[-1] if oe else self.doc
         n = t.last_child
         if n is not None and n.type == TEXT_NODE:
             n.data += text
             return
-        self.add_child(Node(TEXT_NODE, "", text))
+        # Inline of add_child for text nodes: the foster pair above
+        # already returned False and text nodes never join oe.
+        t.append_child(Node(TEXT_NODE, "", text))
 
     def add_element(self) -> None:
         # The token's Attribute objects transfer to the element without
