@@ -1239,6 +1239,91 @@ def _warc_extract_pages(spark, sf_dir: str) -> DataFrame:
     return _warc_extract_pages_impl(spark, gz=False)
 
 
+def _wat_extract_meta(spark, sf_dir: str) -> DataFrame:
+    """WAT metadata round-trip (the third leg of the Common Crawl
+    WARC/WAT/WET triad): per page, the engine extracts the title
+    (//title, exactly as page_titles) and the a[href] links (exactly as
+    page_links), serializes the partition as WAT metadata records
+    (JSON envelope, per-record gzip members), re-parses them with the
+    distributed reader, and aggregates per url — graded against the
+    frozen page_titles + page_links parquets, so a record lost or a
+    field altered by the WAT round-trip fails the hash.  Aggregation
+    (not a row-per-page join) because the fixture intentionally holds
+    recrawled duplicate urls."""
+    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+
+    def to_wat(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.css import compile_selector
+        from crystal_html5_spark.html5x.parser import parse
+        from crystal_html5_spark.html5x.xpath import xpath
+        from crystal_html5_spark.sparkjob.warcio import write_wat
+
+        sel = compile_selector("a[href]")
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            tss = batch.column("warc_ts").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            rows = []
+            for u, ts, h in zip(urls, tss, htmls):
+                try:
+                    doc = parse(h or b"")
+                    node = xpath(doc, "//title")
+                    t = node.inner_text() if node is not None else None
+                    if t is not None:
+                        t = t.encode("utf-8", "replace").decode("utf-8")
+                    hrefs = [m["href"] for m in sel.select(doc)]
+                except Exception:  # noqa: BLE001 — malformed page
+                    t, hrefs = None, []
+                meta: dict = {"Links": [{"path": "A@/href", "url": x}
+                                        for x in hrefs]}
+                if t is not None:
+                    meta["Head"] = {"Title": t}
+                rows.append((u, ts, meta))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([write_wat(rows, gz=True)], pa.binary())],
+                names=["content"],
+            )
+
+    def from_wat(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.sparkjob.warcio import parse_wat
+
+        for batch in iterator:
+            urls, titles, n_links, first_href = [], [], [], []
+            for blob in batch.column("content"):
+                for url, _ts, meta in parse_wat(blob.as_py()):
+                    links = meta.get("Links", [])
+                    urls.append(url)
+                    titles.append(meta.get("Head", {}).get("Title"))
+                    n_links.append(len(links))
+                    first_href.append(links[0]["url"] if links else None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(titles, pa.string()),
+                 pa.array(n_links, pa.int64()),
+                 pa.array(first_href, pa.string())],
+                names=["url", "title", "n_links", "first_href"],
+            )
+
+    wat = pages.mapInArrow(to_wat, "content binary")
+    restored = wat.mapInArrow(
+        from_wat,
+        "url string, title string, n_links bigint, first_href string")
+    return (
+        restored.groupBy("url")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.min("title").alias("min_title"),
+            F.sum("n_links").alias("total_links"),
+            F.min("first_href").alias("min_first_href"),
+        )
+        .orderBy("url")
+    )
+
+
 def _warc_gz_extract_pages(spark, sf_dir: str) -> DataFrame:
     return _warc_extract_pages_impl(spark, gz=True)
 
@@ -1719,6 +1804,7 @@ QUERIES: dict = {
     "extract_pages": _extract_pages,
     "warc_extract_pages": _warc_extract_pages,
     "warc_gz_extract_pages": _warc_gz_extract_pages,
+    "wat_extract_meta": _wat_extract_meta,
     "page_links": _page_links,
     "page_titles": _page_titles,
     "page_xpath_stats": _page_xpath_stats,
@@ -1803,6 +1889,23 @@ ORACLES: dict = {
         " FROM read_parquet('"
         f"{_EXPECTED_DIR / f'extract_pages_{_FIXED_PAGES_N}.parquet'}')"
         " ORDER BY url"
+    ),
+    # wat_extract_meta: the WAT JSON envelope round-trip must preserve
+    # every title and link, replayed from the frozen page_titles +
+    # page_links parquets (per-url aggregation: the fixture holds
+    # recrawled duplicate urls, so a row-per-page join would inflate).
+    "wat_extract_meta": (
+        "WITH t AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_pages,"
+        " MIN(title) AS min_title FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'page_titles_{_FIXED_PAGES_N}.parquet'}')"
+        " GROUP BY url),"
+        " l AS (SELECT url, CAST(SUM(n_links) AS BIGINT) AS total_links,"
+        " MIN(first_href) AS min_first_href FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'page_links_{_FIXED_PAGES_N}.parquet'}')"
+        " GROUP BY url)"
+        " SELECT t.url, t.n_pages, t.min_title, l.total_links,"
+        " l.min_first_href FROM t JOIN l ON t.url = l.url"
+        " ORDER BY t.url"
     ),
     "pdf_text_roundtrip": _PDF_ROUNDTRIP_ORACLE,
     "extract_lang_stats": (

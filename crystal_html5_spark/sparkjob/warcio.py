@@ -7,8 +7,10 @@ WARC-Date, Content-Length, ...), a CRLF CRLF separator, ``Content-Length``
 bytes of block, and a CRLF CRLF record terminator.  ``response`` records
 carry an HTTP/1.1 response block whose body is the page HTML; other
 record types (warcinfo, request, metadata) are walked over and skipped,
-as a real crawl file requires.  One shared record walker serves both the
-WARC (response) and WET (conversion) views, so a framing fix lands once.
+as a real crawl file requires.  One shared record walker serves the
+WARC (response), WAT (metadata: per-page JSON envelope with title/link
+metadata, the Common Crawl layout) and WET (conversion: extracted text)
+views, so a framing fix lands once — the full crawl-corpus triad.
 
 Compression matches the corpus-native layout: ``.warc.gz`` files are a
 concatenation of per-record gzip members (each record its own member —
@@ -114,6 +116,66 @@ def write_warc(rows, warcinfo: bytes = b"software: spark-graft\r\n",
     for url, ts, html in rows:
         out.extend(_member(_response_record(url, ts, html), gz))
     return bytes(out)
+
+
+def _metadata_record(url: str, ts: dt.datetime, payload: dict) -> bytes:
+    """One WAT metadata record: the Common-Crawl-published envelope
+    shape (subset) — WARC-Header-Metadata describing the source response
+    record plus HTML-Metadata (title, links) under Payload-Metadata —
+    serialized as deterministic JSON (sorted keys, no whitespace)."""
+    import json
+
+    envelope = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Date": _format_warc_date(ts).decode("ascii"),
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": payload,
+                },
+            },
+        },
+    }
+    block = json.dumps(envelope, separators=(",", ":"), sort_keys=True,
+                       ensure_ascii=False).encode("utf-8")
+    return _record_bytes([
+        (b"WARC-Type", b"metadata"),
+        (b"WARC-Target-URI", url.encode()),
+        (b"WARC-Date", _format_warc_date(ts)),
+        (b"Content-Type", b"application/json"),
+    ], block)
+
+
+def write_wat(rows, warcinfo: bytes = b"format: WAT\r\n",
+              gz: bool = False) -> bytes:
+    """Serialize (url, warc_ts, html_meta dict) rows as WAT — the WARC
+    variant real pipelines emit for per-page metadata (titles, link
+    graphs): ``metadata`` records with a JSON envelope block, preceded
+    by a ``warcinfo`` record, per the Common-Crawl-published layout."""
+    out = bytearray(_member(_warcinfo_record(warcinfo), gz))
+    for url, ts, meta in rows:
+        out.extend(_member(_metadata_record(url, ts, meta), gz))
+    return bytes(out)
+
+
+def parse_wat(data: bytes):
+    """Yield (url, warc_ts, html_meta dict) from WAT metadata records
+    (same record grammar; the block is the JSON envelope)."""
+    import json
+
+    for url, ts, block in _typed_records(data, b"metadata"):
+        try:
+            env = json.loads(block)
+        except ValueError as exc:
+            raise WarcError("malformed WAT JSON block") from exc
+        meta = (env.get("Envelope", {})
+                .get("Payload-Metadata", {})
+                .get("HTTP-Response-Metadata", {})
+                .get("HTML-Metadata", {}))
+        yield url, ts, meta
 
 
 def write_wet(rows, warcinfo: bytes = b"format: WET\r\n",

@@ -248,3 +248,42 @@ def test_wet_sink_streams_not_buffers(spark, tmp_path):
     want = {(r["url"], r["warc_ts"]): bytes(r["text"])
             for r in out.collect()}
     assert {(u, t): x for u, t, x in back} == want
+
+
+def test_wat_round_trip_and_cross_skipping():
+    """WAT metadata records: JSON envelope round-trips exactly
+    (unicode titles, empty link lists), and each parser view skips the
+    other record types."""
+    from crystal_html5_spark.sparkjob.warcio import (
+        parse_wat,
+        parse_wet,
+        write_wat,
+    )
+
+    rows = [
+        ("https://a.example/1", dt.datetime(2024, 1, 1, 0, 0, 0),
+         {"Head": {"Title": "héllo — ünïcode"},
+          "Links": [{"path": "A@/href", "url": "/x"},
+                    {"path": "A@/href", "url": "https://b/y"}]}),
+        ("https://a.example/2", dt.datetime(2024, 1, 1, 0, 0, 1, 500000),
+         {"Links": []}),
+    ]
+    blob = write_wat(rows)
+    assert b"WARC-Type: metadata" in blob
+    assert list(parse_wat(blob)) == rows
+    gz = write_wat(rows, gz=True)
+    assert gz[:2] == b"\x1f\x8b" and list(parse_wat(gz)) == rows
+    # cross-view skipping: WAT parser sees nothing in WARC/WET files
+    assert list(parse_wat(write_warc(ROWS))) == []
+    assert list(parse_wet(blob)) == []
+    assert list(parse_warc(blob)) == []
+
+
+def test_wat_malformed_json_raises_typed():
+    from crystal_html5_spark.sparkjob.warcio import parse_wat, write_wat
+
+    rows = [("u", dt.datetime(2024, 1, 1), {"Links": []})]
+    blob = write_wat(rows)
+    bad = blob.replace(b'{"Envelope"', b'{"Envelop~~', 1)
+    with pytest.raises(WarcError):
+        list(parse_wat(bad))
