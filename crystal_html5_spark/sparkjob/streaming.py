@@ -155,8 +155,14 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
 def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
                  checkpoint_dir: str, available_now: bool = True,
                  max_doc_bytes: int = DEFAULT_MAX_DOC_BYTES,
-                 idempotent_sink: bool = False):
+                 idempotent_sink: bool = False,
+                 source: str = "parquet"):
     """Start (or resume, via the checkpoint) the extraction stream.
+
+    ``source``: "parquet" streams page-capture parquet files;
+    "warc" streams arriving .warc(.gz) crawl segments through the
+    distributed WARC parser first (the continuous-crawl ingest shape —
+    each new segment is one checkpoint-tracked input file).
 
     Default sink: Spark's transactional file sink (exactly-once per
     checkpoint).  With ``idempotent_sink`` each micro-batch instead
@@ -166,8 +172,13 @@ def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
     deleted, at-least-once upstream) still cannot write duplicate
     (url, warc_ts) rows, which the plain file sink does not guarantee
     across checkpoint resets."""
-    out = stream_extract(stream_pages(spark, input_dir),
-                         max_doc_bytes=max_doc_bytes)
+    if source == "warc":
+        from .warcio import stream_warc_pages
+
+        pages = stream_warc_pages(spark, input_dir)
+    else:
+        pages = stream_pages(spark, input_dir)
+    out = stream_extract(pages, max_doc_bytes=max_doc_bytes)
     if idempotent_sink:
         from . import io as tableio
 

@@ -305,6 +305,29 @@ def parse_wet(data: bytes):
 
 # ---------------------------------------------------------------- spark
 
+PAGES_DDL = "url string, warc_ts timestamp, html binary"
+
+
+def _page_record_batches(iterator):
+    """mapInArrow body shared by the batch and streaming WARC sources:
+    file-content batches in, (url, warc_ts, html) batches out."""
+    import pyarrow as pa
+
+    for batch in iterator:
+        urls, tss, htmls = [], [], []
+        for blob in batch.column("content"):
+            for url, ts, html in parse_warc(blob.as_py()):
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(html)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(urls, pa.string()),
+             pa.array(tss, pa.timestamp("us")),
+             pa.array(htmls, pa.binary())],
+            names=["url", "warc_ts", "html"],
+        )
+
+
 def read_warc_pages(spark, warc_dir: str):
     """WARC directory -> pages DataFrame (url, warc_ts, html).
 
@@ -315,26 +338,26 @@ def read_warc_pages(spark, warc_dir: str):
     files = spark.read.format("binaryFile") \
         .option("pathGlobFilter", "*.{warc,warc.gz}") \
         .load(warc_dir).select("content")
+    return files.mapInArrow(_page_record_batches, PAGES_DDL)
 
-    def records(iterator):
-        import pyarrow as pa
 
-        for batch in iterator:
-            urls, tss, htmls = [], [], []
-            for blob in batch.column("content"):
-                for url, ts, html in parse_warc(blob.as_py()):
-                    urls.append(url)
-                    tss.append(ts)
-                    htmls.append(html)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(urls, pa.string()),
-                 pa.array(tss, pa.timestamp("us")),
-                 pa.array(htmls, pa.binary())],
-                names=["url", "warc_ts", "html"],
-            )
-
-    return files.mapInArrow(
-        records, "url string, warc_ts timestamp, html binary")
+def stream_warc_pages(spark, warc_dir: str,
+                      max_files_per_trigger: int | None = None):
+    """Streaming WARC source: the continuous-crawl ingest shape —
+    .warc(.gz) segments arriving in a directory become a file-source
+    stream (one input row per segment, checkpoint tracks which segments
+    are done), parsed distributed by the same mapInArrow body as the
+    batch reader."""
+    # binaryFile's schema is fixed by the source but streaming reads
+    # must state it explicitly.
+    reader = spark.readStream.format("binaryFile") \
+        .schema("path string, modificationTime timestamp,"
+                " length long, content binary") \
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(warc_dir).select("content")
+    return files.mapInArrow(_page_record_batches, PAGES_DDL)
 
 
 def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:
