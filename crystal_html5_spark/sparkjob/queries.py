@@ -586,6 +586,53 @@ ORDER BY rank
 # whitespace runs — the GPT-2 pre-tokenizer shape reduced to a regex
 # portable across Java regex (Spark) and RE2 (DuckDB): no lookahead, no
 # unicode property classes.
+def _docs_repetition_sql(dialect: str) -> str:
+    """Gopher-style repetition / diversity metrics per document (public
+    heuristics from the Gopher & C4 data-cleaning literature): word
+    count, type-token ratio inputs, duplicate word-trigram fraction.
+    Pure map-side higher-order functions in both dialects — no explode,
+    no shuffle beyond the final ORDER BY, so the plan is a scan +
+    project at any corpus size.  Counts are exact integers (hash-exact
+    across engines); the one ratio is the same IEEE division on both
+    sides."""
+    if dialect == "spark":
+        ws = "regexp_extract_all(text, '\\\\S+', 0)"
+        tris = ("CASE WHEN size(ws) >= 3 THEN"
+                " transform(sequence(0, size(ws) - 3),"
+                " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                " ELSE array() END")
+        sum_len = "aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+        distinct = "size(array_distinct"
+    else:
+        ws = r"regexp_extract_all(text, '\S+')"
+        tris = ("CASE WHEN len(ws) >= 3 THEN"
+                " list_transform(range(1, len(ws) - 1),"
+                " i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])"
+                " ELSE [] END")
+        sum_len = ("COALESCE(list_sum(list_transform(ws,"
+                   " x -> strlen(x))), 0)")
+        distinct = "len(list_distinct"
+    n = "size(ws)" if dialect == "spark" else "len(ws)"
+    return f"""
+WITH w AS (
+  SELECT doc_id, {ws} AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws, {n} AS n, {tris} AS tris FROM w
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST({distinct}(ws)) AS BIGINT) AS n_distinct_words,
+       CAST({sum_len} AS BIGINT) AS sum_word_len,
+       CAST(GREATEST(n - 2, 0) AS BIGINT) AS n_trigrams,
+       CAST({distinct}(tris)) AS BIGINT) AS n_distinct_trigrams,
+       CASE WHEN n > 2 THEN
+         1.0 - CAST({distinct}(tris)) AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+       ELSE 0.0 END AS dup_3gram_frac
+FROM s
+ORDER BY doc_id
+"""
+
+
 _DOCS_BPE_TOKENS = r"""
 SELECT doc_id,
        CAST(size(regexp_extract_all(text,
@@ -1787,6 +1834,7 @@ QUERIES: dict = {
     "docs_near_dup_pairs": _sql(_DOCS_NEAR_DUP_PAIRS_SPARK),
     "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
+    "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_winnow_fp": _sql(_docs_winnow_sql("spark")),
     # similarity search over embeddings
     "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
@@ -1838,6 +1886,7 @@ ORACLES: dict = {
     "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
+    "docs_repetition": _docs_repetition_sql("duck"),
     "docs_winnow_fp": _docs_winnow_sql("duck"),
     "ann_cosine_topk": _ANN_TOPK_DUCK,
     "ann_lsh_buckets": _ann_lsh_buckets_oracle(),

@@ -174,3 +174,17 @@ def test_url_normalize_plan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_docs_repetition_plan_is_jvm_only(spark):
+    """Repetition metrics must stay map-side JVM built-ins: no Python
+    UDF, no explode/Generate, no shuffle before the final sort (the
+    100 TB hot path is scan + project)."""
+    from crystal_html5_spark.sparkjob.queries import QUERIES
+
+    plan = QUERIES["docs_repetition"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "Generate" not in plan  # no explode: per-doc arrays stay packed
