@@ -350,11 +350,20 @@ def _mh_core_ctes(dialect: str, min_tokens: int = 3) -> str:
                     "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")
         guard = f"len({toks_arr}) >= {min_tokens}"
         tmap, amin = "list_transform", "list_min"
-    digits = " + ".join(
-        f"(CAST(instr('0123456789abcdef', substr(m, {i + 1}, 1))"
-        f" AS BIGINT) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
-        for i in range(8)
-    )
+    if dialect == "spark":
+        # conv() decodes the hex prefix in one call — measured 1.6x
+        # faster than the 8-digit instr expansion at sf0.1, value-
+        # identical (checked over 10k md5s).  DuckDB has no conv(),
+        # so the oracle keeps the digit expansion — an independent
+        # re-derivation of the same integer, which is exactly what an
+        # oracle should be.
+        digits = "CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)"
+    else:
+        digits = " + ".join(
+            f"(CAST(instr('0123456789abcdef', substr(m, {i + 1}, 1))"
+            f" AS BIGINT) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
+            for i in range(8)
+        )
     mins = ",\n         ".join(
         f"{amin}({tmap}(hq, h -> ({a} * h + {b}) % {_MH_PRIME})) AS m{k + 1}"
         for k, (a, b) in enumerate(_mh_perm_consts())
@@ -1530,11 +1539,9 @@ def _near_dups_over(spark, pages) -> DataFrame:
     # ONE md5 per shingle, then 4 integer universal-hash permutations
     # (the _mh_core_ctes scheme) — the earlier form hashed every shingle
     # four times (md5(s+'#k')), which dominated the sf-scaled bench.
-    digits = " + ".join(
-        f"(CAST(instr('0123456789abcdef', substr(m, {i + 1}, 1))"
-        f" AS BIGINT) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
-        for i in range(8)
-    )
+    # conv() hex decode: value-identical to the instr digit expansion
+    # the frozen oracle replays, ~1.6x faster (see _mh_core_ctes).
+    digits = "CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)"
     perms = _mh_perm_consts()[:4]
     mins = ",\n                 ".join(
         f"array_min(transform(hq, h -> ({a} * h + {b}) % {_MH_PRIME}))"
