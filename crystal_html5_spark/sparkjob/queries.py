@@ -549,6 +549,66 @@ _DOCS_JACCARD_VERIFY_DUCK = _docs_jaccard_verify_sql("duck")
 # BOUNDARIES must not depend on float tie-ordering across engines.
 _COS_QUANT = 1_000_000_000
 
+def _emb_quantize_sql(dialect: str) -> str:
+    """Int8 scalar quantization of the embedding column (the standard
+    vector-index compression step: 4x smaller, done map-side before any
+    ANN structure is built).  Per vector: min/max range, the 0..255
+    codes' plain and position-weighted sums (pins every code to its
+    position), and the reconstruction squared error — all reduced to
+    exact integers (the FLOOR-quantize trick the ANN oracles use) so
+    the cross-engine hash is bit-exact.  Constant vectors (max == min)
+    quantize to all-zero codes by convention."""
+    if dialect == "spark":
+        mn = "CAST(array_min(embedding) AS DOUBLE)"
+        mx = "CAST(array_max(embedding) AS DOUBLE)"
+        n = "size(embedding)"
+        code = ("transform(embedding, x -> CAST(FLOOR("
+                "(CAST(x AS DOUBLE) - mn) * 255.0D / (mx - mn) + 0.5D)"
+                " AS BIGINT))")
+        zero = "transform(embedding, x -> CAST(0 AS BIGINT))"
+        csum = "aggregate(c, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        wsum = ("aggregate(zip_with(c, sequence(1, size(c)),"
+                " (x, i) -> x * CAST(i AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)")
+        sqerr = ("aggregate(zip_with(embedding, c, (x, q) ->"
+                 " POWER(CAST(x AS DOUBLE) - (mn + CAST(q AS DOUBLE)"
+                 " * (mx - mn) / 255.0D), 2)),"
+                 " CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    else:
+        mn = "CAST(list_min(embedding) AS DOUBLE)"
+        mx = "CAST(list_max(embedding) AS DOUBLE)"
+        n = "len(embedding)"
+        code = ("list_transform(embedding, x -> CAST(FLOOR("
+                "(CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)"
+                " AS BIGINT))")
+        zero = "list_transform(embedding, x -> CAST(0 AS BIGINT))"
+        csum = "COALESCE(list_sum(c), 0)"
+        wsum = ("COALESCE(list_sum(list_transform(range(1, len(c) + 1),"
+                " i -> c[i] * CAST(i AS BIGINT))), 0)")
+        sqerr = ("COALESCE(list_sum(list_transform("
+                 "range(1, len(c) + 1), i ->"
+                 " POWER(CAST(embedding[i] AS DOUBLE) - (mn +"
+                 " CAST(c[i] AS DOUBLE) * (mx - mn) / 255.0), 2))), 0)")
+    return f"""
+WITH stats AS (
+  SELECT vec_id, embedding, {mn} AS mn, {mx} AS mx FROM embeddings
+), coded AS (
+  SELECT vec_id, embedding, mn, mx,
+         CASE WHEN mx = mn THEN {zero} ELSE {code} END AS c
+  FROM stats
+)
+SELECT vec_id,
+       CAST({n} AS BIGINT) AS n_dims,
+       CAST(FLOOR(mn * 1000000) AS BIGINT) AS mn_q6,
+       CAST(FLOOR(mx * 1000000) AS BIGINT) AS mx_q6,
+       CAST({csum} AS BIGINT) AS code_sum,
+       CAST({wsum} AS BIGINT) AS code_possum,
+       CAST(FLOOR({sqerr} * 100000000) AS BIGINT) AS sqerr_q8
+FROM coded
+ORDER BY vec_id
+"""
+
+
 _ANN_TOPK_SPARK = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -1845,6 +1905,7 @@ QUERIES: dict = {
     "docs_winnow_fp": _sql(_docs_winnow_sql("spark")),
     # similarity search over embeddings
     "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
+    "emb_quantize": _sql(_emb_quantize_sql("spark")),
     "ann_lsh_buckets": _ann_lsh_buckets,
     "ann_lsh_topk": _ann_lsh_topk,
     "ann_ivf_topk": lambda spark, sf_dir: _sql(
@@ -1896,6 +1957,7 @@ ORACLES: dict = {
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_winnow_fp": _docs_winnow_sql("duck"),
     "ann_cosine_topk": _ANN_TOPK_DUCK,
+    "emb_quantize": _emb_quantize_sql("duck"),
     "ann_lsh_buckets": _ann_lsh_buckets_oracle(),
     "ann_lsh_topk": _ann_lsh_topk_oracle(),
     # The driver runs oracles at sf0.01 (contract); k is derived from
