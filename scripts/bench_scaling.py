@@ -120,9 +120,13 @@ def orchestrate(n_pages: int, runs: int, n_level: int = 8) -> None:
     pages_path = pages_parquet(spark, n_pages)
     spark.stop()
 
+    import os
+
     taskset = shutil.which("taskset")
+    host_cpus = os.cpu_count() or 0
     levels = (n_level, 4 * n_level)
     results = {}
+    pinned: dict[int, bool] = {}
     for cpus in levels:
         # Quiet-wait (bench.py policy): don't launch a timed leg while
         # the host is still busy with something else.
@@ -135,13 +139,19 @@ def orchestrate(n_pages: int, runs: int, n_level: int = 8) -> None:
             waited += 10
         cmd = [sys.executable, __file__, "--worker", "--cpus", str(cpus),
                "--pages", pages_path, "--runs", str(runs)]
-        if taskset:
+        # Pin only when the host genuinely has that many CPUs: Linux
+        # silently drops affinity-mask bits beyond the online CPU count,
+        # so `taskset -c 0-31` on a 16-core host would "succeed" while
+        # the artifact claimed a pinned 4N leg that never existed.
+        pinned[cpus] = bool(taskset) and host_cpus >= cpus
+        if pinned[cpus]:
             cmd = [taskset, "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
             cmd, capture_output=True, text=True, check=True, cwd=str(REPO),
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
+        results[cpus]["pinned"] = pinned[cpus]
         print(line)
 
     lo, hi = levels
@@ -155,10 +165,17 @@ def orchestrate(n_pages: int, runs: int, n_level: int = 8) -> None:
     eff_min = eff("min_sec")
     t_lo = results[lo]["median_all_sec"]
     t_hi = results[hi]["median_all_sec"]
-    pin_note = (
-        f"each leg CPU-pinned via `taskset -c 0-{{cpus-1}}`"
-        if taskset else "taskset unavailable — legs UNPINNED"
-    )
+    if all(pinned.values()):
+        pin_note = f"each leg CPU-pinned via `taskset -c 0-{{cpus-1}}`"
+    elif not taskset:
+        pin_note = "taskset unavailable — legs UNPINNED"
+    else:
+        pin_note = (
+            f"host has only {host_cpus} CPUs — legs pinned where "
+            f"possible: " + ", ".join(
+                f"local[{c}] {'pinned' if p else 'UNPINNED'}"
+                for c, p in pinned.items())
+        )
     md = f"""# BENCH — N vs 4N scaling (sandbox stand-in: local[{lo}] vs local[{hi}], {pin_note})
 
 Input: {n_pages} deterministic synthetic pages (seed 42), same parquet for
