@@ -141,6 +141,52 @@ def write_extracted(spark, extracted: DataFrame, dest: str) -> None:
     extracted.write.mode("append").parquet(f"{dest}/extracted")
 
 
+def compact_latest(spark, dest: str) -> int:
+    """Offline compaction: rewrite the extracted table keeping only the
+    LATEST capture per url (the read-time contract the streaming sink
+    defers — exactly-once per (url, warc_ts) capture lands everything;
+    this maintenance job collapses recrawls).  Returns rows kept.
+
+    Iceberg: one atomic ``CREATE OR REPLACE TABLE AS`` snapshot commit.
+    Parquet: write the compacted data beside the live directory, then a
+    two-rename swap — there is a sub-second window where the directory
+    is absent, so (as with any non-transactional table format) run it
+    offline; readers mid-swap fail loudly rather than seeing duplicates.
+    Ties on (url, warc_ts) break on the later batch_ts, so a re-run is
+    idempotent and deterministic."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    if use_catalog(spark, dest):
+        spark.sql(
+            f"CREATE OR REPLACE TABLE {dest} AS "
+            f"SELECT * EXCEPT (_rn) FROM (SELECT t.*, ROW_NUMBER() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, batch_ts DESC) AS _rn"
+            f" FROM {dest} t) WHERE _rn = 1"
+        )
+        return spark.read.table(dest).count()
+
+    src = f"{dest}/extracted"
+    df = spark.read.parquet(src)
+    order = [F.desc("warc_ts")]
+    if "batch_ts" in df.columns:
+        order.append(F.desc("batch_ts"))
+    w = Window.partitionBy("url").orderBy(*order)
+    latest = (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+    tmp = f"{dest}/extracted.compact.tmp"
+    latest.write.mode("overwrite").parquet(tmp)
+    kept = spark.read.parquet(tmp).count()
+    old = f"{dest}/extracted.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return kept
+
+
 def write_metrics(metrics: DataFrame, dest: str) -> None:
     """Per-batch lineage/metrics side table (append-only by design:
     each batch's row is a lineage fact, not state)."""

@@ -169,3 +169,32 @@ def test_resume_path_uses_done_keys(spark, tmp_path):
     full = run_extract(spark, pages, num_partitions=4)
     assert total.count() == full.count()
     assert total.select("url").distinct().count() == total.count()
+
+
+def test_compact_latest_keeps_only_latest_capture(spark, tmp_path):
+    """Compaction collapses recrawls to the latest capture per url,
+    leaves the metrics side table untouched, and re-runs are no-ops."""
+    import datetime as dt
+
+    from crystal_html5_spark.sparkjob import io as tableio
+
+    dest = str(tmp_path / "tbl")
+    sch = ("url string, warc_ts timestamp, text binary, batch string")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 1, 0, 0)
+    b1 = spark.createDataFrame(
+        [("u1", t0, b"old1", "b1"), ("u2", t0, b"only", "b1")], sch)
+    b2 = spark.createDataFrame([("u1", t1, b"new1", "b2")], sch)
+    tableio.write_extracted(spark, b1, dest)
+    tableio.write_extracted(spark, b2, dest)
+    assert spark.read.parquet(f"{dest}/extracted").count() == 3
+
+    kept = tableio.compact_latest(spark, dest)
+    assert kept == 2
+    rows = {r["url"]: (r["warc_ts"], bytes(r["text"]))
+            for r in spark.read.parquet(f"{dest}/extracted").collect()}
+    assert rows == {"u1": (t1, b"new1"), "u2": (t0, b"only")}
+    assert tableio.compact_latest(spark, dest) == 2  # idempotent
+    # the sink remains idempotent against already-compacted keys
+    tableio.write_extracted(spark, b2, dest)
+    assert spark.read.parquet(f"{dest}/extracted").count() == 2
