@@ -58,6 +58,9 @@ DEFAULT_SCOPE_STOP_TAGS = {
     "svg": frozenset(("desc", "foreignObject", "title")),
 }
 _STOP_TAGS_EMPTY_NS = DEFAULT_SCOPE_STOP_TAGS[""]
+# Button scope = default scope stops + "button" (one fused set so the
+# specialized _scope_idx loop does a single membership test per frame).
+_STOP_TAGS_BUTTON = frozenset(_STOP_TAGS_EMPTY_NS) | {"button"}
 
 _IMPLIED_END_TAGS = frozenset((
     "dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc",
@@ -295,6 +298,25 @@ class Parser:
                     if tag_atom in match_tags:
                         return i
                     if tag_atom in stop_empty:
+                        return -1
+                else:
+                    stop = DEFAULT_SCOPE_STOP_TAGS.get(n.namespace)
+                    if stop and tag_atom in stop:
+                        return -1
+            return -1
+        if s == BUTTON_SCOPE:
+            # Specialized loop for the second-hottest scope kind (fired
+            # by every block start via pop_until(BUTTON_SCOPE, "p")):
+            # one frozenset membership per frame instead of the general
+            # loop's scope-variant branch chain.  Semantics identical.
+            stop_button = _STOP_TAGS_BUTTON
+            for i in range(len(oe) - 1, -1, -1):
+                n = oe[i]
+                tag_atom = n.data_atom
+                if n.namespace == "":
+                    if tag_atom in match_tags:
+                        return i
+                    if tag_atom in stop_button:
                         return -1
                 else:
                     stop = DEFAULT_SCOPE_STOP_TAGS.get(n.namespace)
