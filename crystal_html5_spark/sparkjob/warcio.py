@@ -316,6 +316,34 @@ def parse_wet(data: bytes):
     yield from _typed_records(data, b"conversion")
 
 
+def write_warc_indexed(rows, warcinfo: bytes = b"software: spark-graft\r\n",
+                       gz: bool = True):
+    """write_warc plus a CDX-style record index: returns
+    (segment_bytes, [(url, warc_ts, offset, length), ...]).
+
+    With per-record gzip members each (offset, length) delimits one
+    independently decompressable member — the layout that lets a reader
+    fetch ONE record from a multi-GB segment with a byte-range request
+    (how the public crawl indexes serve single captures at corpus
+    scale) instead of scanning the file."""
+    out = bytearray(_member(_warcinfo_record(warcinfo), gz))
+    index = []
+    for url, ts, html in rows:
+        rec = _member(_response_record(url, ts, html), gz)
+        index.append((url, ts, len(out), len(rec)))
+        out.extend(rec)
+    return bytes(out), index
+
+
+def read_warc_record(data, offset: int, length: int):
+    """Random access: parse the single record at (offset, length) from a
+    segment (plain or per-record-gzip), per its index entry.  Raises
+    WarcError if the span holds no response record (wrong offsets)."""
+    for rec in parse_warc(bytes(data[offset:offset + length])):
+        return rec
+    raise WarcError("no response record at the indexed span")
+
+
 # ---------------------------------------------------------------- spark
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary"

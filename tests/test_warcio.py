@@ -287,3 +287,31 @@ def test_wat_malformed_json_raises_typed():
     bad = blob.replace(b'{"Envelope"', b'{"Envelop~~', 1)
     with pytest.raises(WarcError):
         list(parse_wat(bad))
+
+
+def test_indexed_random_access():
+    """CDX-style index: each (offset, length) fetches exactly its record
+    without touching the rest of the segment, gz and plain."""
+    from crystal_html5_spark.sparkjob.warcio import (
+        read_warc_record,
+        write_warc_indexed,
+    )
+
+    for gz in (True, False):
+        blob, idx = write_warc_indexed(ROWS, gz=gz)
+        assert len(idx) == len(ROWS)
+        # spans tile the post-warcinfo tail exactly
+        assert idx[0][2] > 0 and idx[-1][2] + idx[-1][3] == len(blob)
+        for (u, t, h), (iu, it, off, ln) in zip(ROWS, idx):
+            assert (iu, it) == (u, t)
+            assert read_warc_record(blob, off, ln) == (u, t, h)
+        # random access out of order, from a memoryview (range-request
+        # shape: no full-segment copy)
+        mv = memoryview(blob)
+        for (u, t, h), (_u, _t, off, ln) in sorted(
+                zip(ROWS, idx), key=lambda p: p[0][0], reverse=True):
+            assert read_warc_record(mv, off, ln) == (u, t, h)
+        # full sequential parse still sees the same records
+        assert list(parse_warc(blob)) == ROWS
+    with pytest.raises(WarcError):
+        read_warc_record(blob, idx[0][2], 3)
