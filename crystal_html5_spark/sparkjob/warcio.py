@@ -58,9 +58,13 @@ def _format_warc_date(ts: dt.datetime) -> bytes:
 def _record_bytes(headers: list, block: bytes) -> bytes:
     """Serialize ONE record (version line, headers, Content-Length,
     block, record terminator) — the unit both writers and the streaming
-    sink emit."""
+    sink emit.  A CR/LF inside a header value (e.g. a crafted URL)
+    would inject forged headers into the record grammar, so it is
+    rejected, not framed."""
     out = bytearray(b"WARC/1.0" + _CRLF)
     for k, v in headers:
+        if b"\r" in v or b"\n" in v:
+            raise WarcError(f"header value contains line break: {k!r}")
         out.extend(k + b": " + v + _CRLF)
     out.extend(b"Content-Length: " + str(len(block)).encode() + _CRLF)
     out.extend(_CRLF)
@@ -221,7 +225,11 @@ def _iter_plain_records(data: bytes):
             sep = line.find(b":")
             if sep == -1:
                 raise WarcError("malformed header line")
-            headers[line[:sep].strip().lower()] = line[sep + 1:].strip()
+            # Trim only SP/HTAB (the HTTP field-value grammar): a bare
+            # .strip() would eat other whitespace-class bytes (FF, VT)
+            # out of URI values and break round-trip byte-identity.
+            headers[line[:sep].strip().lower()] = \
+                line[sep + 1:].strip(b" \t")
         try:
             length = int(headers[b"content-length"])
         except (KeyError, ValueError) as exc:

@@ -315,3 +315,52 @@ def test_indexed_random_access():
         assert list(parse_warc(blob)) == ROWS
     with pytest.raises(WarcError):
         read_warc_record(blob, idx[0][2], 3)
+
+
+def test_property_round_trip_hypothesis():
+    """Property: ANY (url, ts, payload) rows survive WARC and WET
+    round-trips byte-exactly, plain and gzipped — unicode urls, binary
+    payloads with embedded CRLFCRLF / WARC/1.0 look-alikes, fractional
+    timestamps."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crystal_html5_spark.sparkjob.warcio import (
+        parse_wet,
+        write_wet,
+    )
+
+    # CR/LF in a url is rejected by the writer (header injection);
+    # leading/trailing SP/HTAB is trimmed by the field grammar, so the
+    # property holds for everything else (incl. FF/VT and unicode).
+    urls = st.text(
+        st.characters(blacklist_categories=("Cs",),
+                      blacklist_characters="\r\n"),
+        min_size=0, max_size=40,
+    ).map(lambda u: u.strip(" \t"))
+    tss = st.datetimes(
+        min_value=dt.datetime(1990, 1, 1),
+        max_value=dt.datetime(2100, 1, 1),
+    ).map(lambda t: t.replace(microsecond=t.microsecond // 1000 * 1000))
+    payloads = st.binary(max_size=300) | st.just(
+        b"\r\n\r\nWARC/1.0\r\nContent-Length: 4\r\n\r\nfake\r\n\r\n")
+    rows_s = st.lists(st.tuples(urls, tss, payloads), max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=rows_s, gz=st.booleans())
+    def prop(rows, gz):
+        blob = write_warc(rows, gz=gz)
+        assert list(parse_warc(blob)) == rows
+        wet = write_wet(rows, gz=gz)
+        assert list(parse_wet(wet)) == rows
+
+    prop()
+
+
+def test_writer_rejects_header_injection():
+    """A CR/LF smuggled into a url must be rejected, not framed as a
+    forged record header."""
+    for bad in ("https://x/\r\nWARC-Type: warcinfo",
+                "https://x/\ninjected: 1"):
+        with pytest.raises(WarcError):
+            write_warc([(bad, dt.datetime(2024, 1, 1), b"x")])
