@@ -19,7 +19,10 @@ within a run, so sampling continues (bounded) until the trailing
 3-sample window is stable and its median is reported.  The headline runs
 LAST so every earlier query absorbs the throttle.  Per-run samples and
 per-sample loadavg land in BENCH/history.jsonl and the headline's in the
-output JSON itself.
+output JSON itself.  Because the windowed stopping rule conditions on
+the reported statistic, the output ALSO carries the unconditional
+medians over every sample (queries_full_median, value_full_median,
+docs_per_sec_full_median) — the conservative companion view.
 """
 
 from __future__ import annotations
