@@ -383,6 +383,100 @@ FROM d ORDER BY doc_id
 """
 
 
+def media_pixel_sums_query(spark, sf_dir: str):
+    """Pixel/sample CONTENT verification of the lossless decoders, with
+    a full cross-engine oracle: Spark synthesizes the blobs and runs
+    the real PNG / WAV / AVI decoders, reducing every decoded value to
+    exact integers (count, sum, min, max) — while DuckDB replays the
+    same numbers straight from the synth arithmetic without seeing a
+    media byte.  This upgrades decode verification from media_meta's
+    header fields to every single pixel and sample: one wrong byte out
+    of any decoder moves the sum and fails the hash.  JPEG is excluded
+    by nature (lossy DCT — its pixel-exactness is pinned by the
+    sequential-vs-progressive identity tests instead)."""
+    from pyspark.sql import functions as F
+
+    media = synth_media(spark, sf_dir).filter(
+        F.col("doc_id") % 5 != 2).filter(F.col("doc_id") % 5 != 4)
+
+    def sums(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        from .avicodec import decode_avi
+        from .pngcodec import decode_png
+        from .wavcodec import decode_wav
+
+        for batch in iterator:
+            ids = batch.column("doc_id").to_pylist()
+            blobs = batch.column("media").to_pylist()
+            modality, n_values, vsum, vmin, vmax = [], [], [], [], []
+            for i, blob in zip(ids, blobs):
+                kind = i % 5
+                if kind == 0:
+                    vals = decode_png(blob)[3]
+                    modality.append("png")
+                elif kind == 1:
+                    vals = decode_wav(blob)[2]
+                    modality.append("wav")
+                else:
+                    vals = decode_avi(blob)[3]
+                    modality.append("avi")
+                v = np.asarray(vals, dtype=np.int64).ravel()
+                n_values.append(int(v.size))
+                vsum.append(int(v.sum()))
+                vmin.append(int(v.min()))
+                vmax.append(int(v.max()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array(modality, pa.string()),
+                 pa.array(n_values, pa.int64()),
+                 pa.array(vsum, pa.int64()),
+                 pa.array(vmin, pa.int64()),
+                 pa.array(vmax, pa.int64())],
+                names=["doc_id", "modality", "n_values", "val_sum",
+                       "val_min", "val_max"],
+            )
+
+    return media.mapInArrow(
+        sums,
+        "doc_id bigint, modality string, n_values bigint,"
+        " val_sum bigint, val_min bigint, val_max bigint",
+    ).orderBy("doc_id")
+
+
+# DuckDB replay of the synth arithmetic (multimodal.synth_media): PNG
+# p_k = (id*31 + k) % 256 over h*w values; WAV s_k =
+# ((k*(id%7+1)*997) % 4096) - 2048 over 256+id%500 samples; AVI
+# f_k = (id*13 + 7k) % 256 over nf*h*w values.  Pure integer lists —
+# the oracle never touches a media byte.
+MEDIA_PIXEL_SUMS_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END AS modality,
+    CASE doc_id % 5
+      WHEN 0 THEN list_transform(
+        range(0, (4 + doc_id % 13) * (3 + doc_id % 11)),
+        k -> (doc_id * 31 + k) % 256)
+      WHEN 1 THEN list_transform(
+        range(0, 256 + doc_id % 500),
+        k -> ((k * (doc_id % 7 + 1) * 997) % 4096) - 2048)
+      ELSE list_transform(
+        range(0, (2 + doc_id % 3) * (6 + doc_id % 7) * (8 + doc_id % 9)),
+        k -> (doc_id * 13 + 7 * k) % 256)
+    END AS vals
+  FROM documents WHERE doc_id % 5 IN (0, 1, 3)
+)
+SELECT doc_id, modality,
+       CAST(len(vals) AS BIGINT) AS n_values,
+       CAST(list_sum(vals) AS BIGINT) AS val_sum,
+       CAST(list_min(vals) AS BIGINT) AS val_min,
+       CAST(list_max(vals) AS BIGINT) AS val_max
+FROM v ORDER BY doc_id
+"""
+
+
 def _nn_resize(px, tw: int, th: int):
     """Nearest-neighbor resize via exact integer index mapping
     (src_idx = floor(i * src / dst)) — deterministic, no float grid."""

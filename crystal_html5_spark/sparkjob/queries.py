@@ -25,6 +25,8 @@ from .multimodal import (
     MEDIA_THUMBS_ORACLE as _MEDIA_THUMBS_ORACLE,
     media_features_query as _media_features,
     media_meta_query as _media_meta,
+    media_pixel_sums_query as _media_pixel_sums,
+    MEDIA_PIXEL_SUMS_ORACLE as _MEDIA_PIXEL_SUMS_ORACLE,
     media_thumbs_query as _media_thumbs,
 )
 from .pages import n_pages_for_sf, pages_parquet
@@ -1921,6 +1923,7 @@ QUERIES: dict = {
     # multimodal: binary media column -> Pandas-UDF feature extraction
     "media_features": _media_features,
     "media_meta": _media_meta,
+    "media_pixel_sums": _media_pixel_sums,
     "media_thumbs": _media_thumbs,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
     "extract_pages": _extract_pages,
@@ -2048,6 +2051,7 @@ ORACLES: dict = {
     # media_meta's oracle recomputes decoder/dims/rate from the synth
     # parameters without ever touching a media byte.
     "media_meta": _MEDIA_META_ORACLE,
+    "media_pixel_sums": _MEDIA_PIXEL_SUMS_ORACLE,
     # media_thumbs: resize operator metadata — thumb dims replayed by
     # DuckDB from doc_id arithmetic + the integer thumb_dims formula.
     "media_thumbs": _MEDIA_THUMBS_ORACLE,
