@@ -574,9 +574,12 @@ def _emb_quantize_sql(dialect: str) -> str:
         wsum = ("aggregate(zip_with(c, sequence(1, size(c)),"
                 " (x, i) -> x * CAST(i AS BIGINT)),"
                 " CAST(0 AS BIGINT), (a, x) -> a + x)")
+        # explicit e*e, not POWER(e, 2): pow() is libm-dependent and the
+        # two engines need bit-identical doubles under the FLOOR quantizer
         sqerr = ("aggregate(zip_with(embedding, c, (x, q) ->"
-                 " POWER(CAST(x AS DOUBLE) - (mn + CAST(q AS DOUBLE)"
-                 " * (mx - mn) / 255.0D), 2)),"
+                 " (CAST(x AS DOUBLE) - (mn + CAST(q AS DOUBLE)"
+                 " * (mx - mn) / 255.0D)) * (CAST(x AS DOUBLE) - (mn +"
+                 " CAST(q AS DOUBLE) * (mx - mn) / 255.0D))),"
                  " CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
     else:
         mn = "CAST(list_min(embedding) AS DOUBLE)"
@@ -591,8 +594,10 @@ def _emb_quantize_sql(dialect: str) -> str:
                 " i -> c[i] * CAST(i AS BIGINT))), 0)")
         sqerr = ("COALESCE(list_sum(list_transform("
                  "range(1, len(c) + 1), i ->"
-                 " POWER(CAST(embedding[i] AS DOUBLE) - (mn +"
-                 " CAST(c[i] AS DOUBLE) * (mx - mn) / 255.0), 2))), 0)")
+                 " (CAST(embedding[i] AS DOUBLE) - (mn +"
+                 " CAST(c[i] AS DOUBLE) * (mx - mn) / 255.0)) *"
+                 " (CAST(embedding[i] AS DOUBLE) - (mn +"
+                 " CAST(c[i] AS DOUBLE) * (mx - mn) / 255.0)))), 0)")
     return f"""
 WITH stats AS (
   SELECT vec_id, embedding, {mn} AS mn, {mx} AS mx FROM embeddings
