@@ -1,16 +1,17 @@
-"""Pure-stdlib AVI (RIFF) container codec for uncompressed 8-bit
-grayscale video.
+"""Pure-stdlib AVI (RIFF) container codec for uncompressed video:
+8-bit grayscale and 24-bit BI_RGB color.
 
 Completes the multimodal decode set (pngcodec/wavcodec/jpegcodec):
 video stays an opaque binary column; this module gives it an honest
 container parse — real RIFF/LIST walking, real ``avih``/``strh``/
 ``strf`` headers, real DIB frame payloads ('00db' chunks, bottom-up
-rows padded to 4 bytes, 8-bit + grayscale palette) — per the public
-Microsoft RIFF/AVI specification.  Frame-sampling features come from
-the actual decoded frames.
+rows padded to 4 bytes; 8-bit with grayscale palette, or 24-bit
+BGR-ordered BI_RGB) — per the public Microsoft RIFF/AVI specification.
+Frame-sampling features come from the actual decoded frames.
 
-Scope is honest: a single uncompressed 8-bit video stream.  Compressed
-FourCCs raise ``AviError`` and the pipeline's feature path falls back.
+Scope is honest: a single uncompressed 8- or 24-bit video stream.
+Compressed FourCCs and other bit depths raise ``AviError`` and the
+pipeline's feature path falls back.
 """
 
 from __future__ import annotations
@@ -38,14 +39,20 @@ def _list(ltype: bytes, body: bytes) -> bytes:
 
 
 def encode_avi(frames, fps: int = 10) -> bytes:
-    """Encode an (n, h, w) uint8 array as an uncompressed grayscale AVI."""
+    """Encode uint8 frames as an uncompressed AVI: (n, h, w) arrays
+    become 8-bit grayscale (palette DIB), (n, h, w, 3) RGB arrays
+    become 24-bit BI_RGB (BGR byte order on disk, per the DIB spec)."""
     arr = np.asarray(frames, dtype=np.uint8)
-    if arr.ndim != 3 or arr.size == 0:
-        raise AviError("encode_avi wants a non-empty (n, h, w) array")
-    n, h, w = arr.shape
+    color = arr.ndim == 4 and arr.shape[3] == 3
+    if (arr.ndim not in (3, 4) or arr.size == 0
+            or (arr.ndim == 4 and not color)):
+        raise AviError(
+            "encode_avi wants a non-empty (n, h, w) or (n, h, w, 3) array")
+    n, h, w = arr.shape[:3]
     if fps <= 0:
         raise AviError("fps must be positive")
-    stride = (w + 3) & ~3  # DIB rows pad to 4 bytes
+    bpp = 3 if color else 1
+    stride = (w * bpp + 3) & ~3  # DIB rows pad to 4 bytes
     frame_bytes = stride * h
 
     # Main AVI header (avih): microsec/frame, max bytes/sec, padding,
@@ -60,17 +67,23 @@ def encode_avi(frames, fps: int = 10) -> bytes:
             + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
                           frame_bytes, 0, 0)
             + struct.pack("<4H", 0, 0, w, h))
-    # Stream format (strf): BITMAPINFOHEADER + 256-gray palette.
-    bmih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes,
-                       0, 0, 256, 0)
-    palette = bytes(v for g in range(256) for v in (g, g, g, 0))
+    # Stream format (strf): BITMAPINFOHEADER (+ 256-gray palette for
+    # 8-bit; 24-bit BI_RGB carries no palette).
+    bmih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8 * bpp, 0,
+                       frame_bytes, 0, 0, 256 if not color else 0, 0)
+    palette = (b"" if color
+               else bytes(v for g in range(256) for v in (g, g, g, 0)))
     hdrl = _list(b"hdrl", _chunk(b"avih", avih)
                  + _list(b"strl", _chunk(b"strh", strh)
                          + _chunk(b"strf", bmih + palette)))
     movi_body = b""
-    pad_cols = stride - w
+    pad_cols = stride - w * bpp
     for f in arr:
-        dib = np.flipud(f)  # DIB rows are bottom-up
+        if color:
+            dib = np.flipud(f[:, :, ::-1])  # bottom-up, RGB -> BGR
+            dib = dib.reshape(h, w * 3)
+        else:
+            dib = np.flipud(f)  # DIB rows are bottom-up
         if pad_cols:
             dib = np.pad(dib, ((0, 0), (0, pad_cols)))
         movi_body += _chunk(b"00db", dib.tobytes())
@@ -80,8 +93,9 @@ def encode_avi(frames, fps: int = 10) -> bytes:
 
 
 def decode_avi(data: bytes):
-    """Decode an uncompressed grayscale AVI produced per the RIFF spec
-    -> (width, height, fps, frames (n, h, w) uint8 ndarray)."""
+    """Decode an uncompressed AVI per the RIFF spec -> (width, height,
+    fps, frames): (n, h, w) uint8 for 8-bit grayscale streams,
+    (n, h, w, 3) RGB for 24-bit BI_RGB."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise AviError("not a RIFF/AVI stream")
     w = h = -1
@@ -122,15 +136,21 @@ def decode_avi(data: bytes):
             elif cid[2:4] in (b"db", b"dc"):
                 if w < 0:
                     raise AviError("frame chunk before headers")
-                if compression != 0 or bitcount != 8:
-                    raise AviError("only uncompressed 8-bit supported")
-                stride = (w + 3) & ~3
+                if compression != 0 or bitcount not in (8, 24):
+                    raise AviError(
+                        "only uncompressed 8/24-bit supported")
+                bpp = bitcount // 8
+                stride = (w * bpp + 3) & ~3
                 if size != stride * h:
                     raise AviError("frame size mismatch")
                 dib = np.frombuffer(
                     data[body_start:body_end], dtype=np.uint8
                 ).reshape(h, stride)
-                frames.append(np.flipud(dib[:, :w]))
+                if bpp == 1:
+                    frames.append(np.flipud(dib[:, :w]))
+                else:  # 24-bit: rows bottom-up, BGR -> RGB
+                    px = dib[:, :w * 3].reshape(h, w, 3)
+                    frames.append(np.flipud(px)[:, :, ::-1])
             pos = body_end + (size & 1)  # word alignment
 
     walk(12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0]), 0)

@@ -15,8 +15,9 @@ Decode honesty, by mime:
   anything outside that scope falls back to header dimensions
   ('jpeg-header') via wavcodec.jpeg_dimensions.
 - ``video/avi`` — REAL container parse + frame decode (avicodec.py):
-  RIFF/LIST walk, avih/strf headers, uncompressed 8-bit DIB frames;
-  frame-sampling features from the actual pixels.
+  RIFF/LIST walk, avih/strf headers, uncompressed 8-bit palette and
+  24-bit BI_RGB DIB frames; frame-sampling features from the actual
+  pixels.
 - anything else — ``decode_image``: PIL when importable, otherwise the
   clearly-marked deterministic fake.
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
@@ -107,8 +108,16 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                     nf = 2 + i % 3
                     w = 8 + i % 9
                     h = 6 + i % 7
-                    fr = ((i * 13 + np.arange(nf * h * w, dtype=np.int64)
-                           * 7) % 256).astype(np.uint8).reshape(nf, h, w)
+                    # Alternate 8-bit gray and 24-bit BI_RGB color so
+                    # both decode paths run in production; same value
+                    # generator, 3x the values for color (the
+                    # media_pixel_sums oracle replays this arithmetic).
+                    nch = 3 if (i // 5) % 2 else 1
+                    vals = ((i * 13 + np.arange(nf * h * w * nch,
+                                                dtype=np.int64) * 7)
+                            % 256).astype(np.uint8)
+                    fr = (vals.reshape(nf, h, w, 3) if nch == 3
+                          else vals.reshape(nf, h, w))
                     media.append(encode_avi(fr, fps=8 + i % 7))
                     mime.append("video/avi")
                 else:
@@ -463,7 +472,8 @@ WITH v AS (
         range(0, 256 + doc_id % 500),
         k -> ((k * (doc_id % 7 + 1) * 997) % 4096) - 2048)
       ELSE list_transform(
-        range(0, (2 + doc_id % 3) * (6 + doc_id % 7) * (8 + doc_id % 9)),
+        range(0, (2 + doc_id % 3) * (6 + doc_id % 7) * (8 + doc_id % 9)
+                 * (CASE WHEN (doc_id // 5) % 2 = 1 THEN 3 ELSE 1 END)),
         k -> (doc_id * 13 + 7 * k) % 256)
     END AS vals
   FROM documents WHERE doc_id % 5 IN (0, 1, 3)
@@ -537,6 +547,8 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
                     elif mime == "video/avi":
                         _w, _h, _fps, frames = decode_avi(blob)
                         px = frames[0]  # video thumb = first frame
+                        if px.ndim == 3:  # color: thumb the mean plane
+                            px = px.mean(axis=2).astype(np.uint8)
                         dec = "avi"
                 except (PngError, JpegCodecError, AviError):
                     px = None

@@ -87,3 +87,41 @@ def test_fuzz_typed_errors_only():
             decode_avi(bytes(b2))
         except AviError:
             pass
+
+
+def test_color_24bit_round_trip():
+    """24-bit BI_RGB: BGR bottom-up rows with 4-byte padding round-trip
+    losslessly to RGB frames, incl. widths whose 3w needs padding."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for shape in [(2, 3, 4, 3), (3, 7, 5, 3), (1, 1, 1, 3), (2, 6, 8, 3)]:
+        fr = rng.integers(0, 256, shape).astype(np.uint8)
+        w, h, fps, out = decode_avi(encode_avi(fr, fps=9))
+        assert (w, h, fps) == (shape[2], shape[1], 9)
+        assert out.shape == shape and np.array_equal(out, fr)
+
+
+def test_color_rejects_bad_channel_count():
+    import numpy as np
+
+    with pytest.raises(AviError):
+        encode_avi(np.zeros((2, 3, 4, 4), dtype=np.uint8))
+
+
+def test_color_fuzz_typed_errors_only():
+    import random as _random
+
+    import numpy as np
+
+    blob = encode_avi(
+        (np.arange(2 * 4 * 5 * 3) % 256).astype(np.uint8)
+        .reshape(2, 4, 5, 3))
+    rng = _random.Random(77)
+    for _ in range(150):
+        corrupt = bytearray(blob)
+        corrupt[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        try:
+            decode_avi(bytes(corrupt))
+        except AviError:
+            pass  # typed rejection is the contract
