@@ -6,7 +6,8 @@ resize run as Arrow-batched ``mapInPandas``/``mapInArrow`` UDFs.
 
 Decode honesty, by mime:
 - ``image/png``  — REAL pixel decode (pure-stdlib codec, pngcodec.py):
-  width/height/features from unfiltered IDAT data.
+  width/height/features from unfiltered IDAT data; grayscale and RGB
+  truecolor both run in production (synth alternates).
 - ``audio/wav``  — REAL PCM decode (wavcodec.py): sample rate, channels
   and amplitude features from the actual samples.
 - ``image/jpeg`` — REAL pixel decode (jpegcodec.py: stream-defined
@@ -66,9 +67,15 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                 if kind == 0:
                     w = 4 + i % 13
                     h = 3 + i % 11
-                    px = ((i * 31 + np.arange(h * w, dtype=np.int64))
-                          % 256).reshape(h, w)
-                    media.append(encode_png(px, channels=1,
+                    # Alternate grayscale and RGB truecolor (same value
+                    # generator, 3x values for color — media_pixel_sums'
+                    # oracle replays this arithmetic); every PNG filter
+                    # type still cycles via i % 5.
+                    nch = 3 if (i // 5) % 2 else 1
+                    px = ((i * 31 + np.arange(h * w * nch,
+                                              dtype=np.int64))
+                          % 256).reshape(h, w * nch)
+                    media.append(encode_png(px, channels=nch,
                                             filter_type=i % 5))
                     mime.append("image/png")
                 elif kind == 1:
@@ -466,7 +473,8 @@ WITH v AS (
       WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END AS modality,
     CASE doc_id % 5
       WHEN 0 THEN list_transform(
-        range(0, (4 + doc_id % 13) * (3 + doc_id % 11)),
+        range(0, (4 + doc_id % 13) * (3 + doc_id % 11)
+                 * (CASE WHEN (doc_id // 5) % 2 = 1 THEN 3 ELSE 1 END)),
         k -> (doc_id * 31 + k) % 256)
       WHEN 1 THEN list_transform(
         range(0, 256 + doc_id % 500),
@@ -536,8 +544,10 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
                 try:
                     if mime == "image/png":
                         _w, _h, _ch, px = decode_png(blob)
-                        if px.ndim == 3:  # RGB(A): luma-ish mean plane
-                            px = px.mean(axis=2).astype(np.uint8)
+                        if _ch > 1:  # RGB(A): mean plane over color
+                            # channels (decode_png yields (h, w*ch))
+                            px = (px.reshape(_h, _w, _ch)[:, :, :3]
+                                  .mean(axis=2).astype(np.uint8))
                         dec = "png"
                     elif mime == "image/jpeg":
                         _w, _h, px = decode_jpeg(blob)
