@@ -9,7 +9,8 @@ Decode honesty, by mime:
   width/height/features from unfiltered IDAT data; grayscale and RGB
   truecolor both run in production (synth alternates).
 - ``audio/wav``  — REAL PCM decode (wavcodec.py): sample rate, channels
-  and amplitude features from the actual samples.
+  and amplitude features from the actual samples; mono and interleaved
+  stereo both run in production (synth alternates).
 - ``image/jpeg`` — REAL pixel decode (jpegcodec.py: stream-defined
   Huffman tables, dequantize, inverse DCT) for baseline sequential
   (SOF0) and progressive (SOF2) streams, grayscale and YCbCr color;
@@ -79,12 +80,17 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                                             filter_type=i % 5))
                     mime.append("image/png")
                 elif kind == 1:
-                    n = 256 + i % 500
+                    # Alternate mono and interleaved stereo (same value
+                    # generator over 2x values for stereo — media_meta's
+                    # n_samples and media_pixel_sums replay it).
+                    nch = 2 if (i // 5) % 2 else 1
+                    n = (256 + i % 500) * nch
                     samples = (((np.arange(n, dtype=np.int64)
                                  * (i % 7 + 1) * 997) % 4096) - 2048) \
                         .astype(np.int16)
                     media.append(encode_wav(
-                        samples, sample_rate=8000 + (i % 3) * 4000))
+                        samples, sample_rate=8000 + (i % 3) * 4000,
+                        channels=nch))
                     mime.append("audio/wav")
                 elif kind == 2:
                     w = 16 + i % 31
@@ -389,7 +395,8 @@ SELECT doc_id,
        WHEN 4 THEN 1 + last_byte ELSE 0 END AS INT) AS height,
   CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 + (doc_id % 3) * 4000
        ELSE 0 END AS INT) AS sample_rate,
-  CAST(CASE WHEN doc_id % 5 = 1 THEN 256 + doc_id % 500
+  CAST(CASE WHEN doc_id % 5 = 1 THEN (256 + doc_id % 500)
+       * (CASE WHEN (doc_id // 5) % 2 = 1 THEN 2 ELSE 1 END)
        ELSE 0 END AS INT) AS n_samples,
   CAST(CASE WHEN doc_id % 5 = 3 THEN 2 + doc_id % 3
        ELSE 0 END AS INT) AS n_frames,
@@ -477,7 +484,8 @@ WITH v AS (
                  * (CASE WHEN (doc_id // 5) % 2 = 1 THEN 3 ELSE 1 END)),
         k -> (doc_id * 31 + k) % 256)
       WHEN 1 THEN list_transform(
-        range(0, 256 + doc_id % 500),
+        range(0, (256 + doc_id % 500)
+                 * (CASE WHEN (doc_id // 5) % 2 = 1 THEN 2 ELSE 1 END)),
         k -> ((k * (doc_id % 7 + 1) * 997) % 4096) - 2048)
       ELSE list_transform(
         range(0, (2 + doc_id % 3) * (6 + doc_id % 7) * (8 + doc_id % 9)

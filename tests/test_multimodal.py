@@ -176,7 +176,10 @@ def test_media_features_query_all_modalities(spark):
     assert all(r["doc_id"] % 5 == 1 for r in by_mod["wav"])
     assert all(r["sample_rate"] in (8000, 12000, 16000)
                for r in by_mod["wav"])
-    assert all(256 <= r["n_samples"] <= 756 for r in by_mod["wav"])
+    # mono rows carry 256..756 frames; stereo rows ((id//5)%2) the
+    # interleaved 2x count
+    assert all(256 <= r["n_samples"] <= 1512 for r in by_mod["wav"])
+    assert any(r["n_samples"] > 756 for r in by_mod["wav"])  # stereo ran
     assert all(0 < r["f1"] <= 2048 for r in by_mod["wav"])  # mean |amp|
     # JPEG rows decode for real: dimensions AND pixel-derived features
     # (stripe means of a mid-gray gradient texture stay near 127.5 —
