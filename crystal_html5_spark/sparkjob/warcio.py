@@ -357,46 +357,72 @@ def read_warc_record(data, offset: int, length: int):
 PAGES_DDL = "url string, warc_ts timestamp, html binary"
 
 
-def _page_record_batches(iterator):
-    """mapInArrow body shared by the batch and streaming WARC sources:
-    file-content batches in, (url, warc_ts, html) batches out."""
-    import pyarrow as pa
-
-    for batch in iterator:
-        urls, tss, htmls = [], [], []
-        for blob in batch.column("content"):
-            for url, ts, html in parse_warc(blob.as_py()):
-                urls.append(url)
-                tss.append(ts)
-                htmls.append(html)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(urls, pa.string()),
-             pa.array(tss, pa.timestamp("us")),
-             pa.array(htmls, pa.binary())],
-            names=["url", "warc_ts", "html"],
-        )
+def _salvage_records(blob: bytes):
+    """Yield every record parsed BEFORE the first structural error,
+    swallowing the error itself: at 100 TB a torn tail on one segment
+    must cost its unread records, never the Spark task (the per-page
+    analog — malformed page becomes an error row — is extract_job's
+    rule; this is the per-segment one)."""
+    try:
+        yield from parse_warc(blob)
+    except WarcError:
+        return
 
 
-def read_warc_pages(spark, warc_dir: str):
+def _page_record_batches(on_error: str):
+    """mapInArrow body factory shared by the batch and streaming WARC
+    sources: file-content batches in, (url, warc_ts, html) batches out.
+    ``on_error``: "salvage" keeps each damaged segment's parsed prefix
+    and drops the rest; "fail" propagates (fails the task — for
+    validation runs where corruption must be loud)."""
+    if on_error not in ("salvage", "fail"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def batches(iterator):
+        import pyarrow as pa
+
+        parse = parse_warc if on_error == "fail" else _salvage_records
+        for batch in iterator:
+            urls, tss, htmls = [], [], []
+            for blob in batch.column("content"):
+                for url, ts, html in parse(blob.as_py()):
+                    urls.append(url)
+                    tss.append(ts)
+                    htmls.append(html)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(htmls, pa.binary())],
+                names=["url", "warc_ts", "html"],
+            )
+
+    return batches
+
+
+def read_warc_pages(spark, warc_dir: str, on_error: str = "salvage"):
     """WARC directory -> pages DataFrame (url, warc_ts, html).
 
     ``binaryFile`` gives one row per .warc / .warc.gz file; record
     parsing runs distributed in mapInArrow.  At 100 TB the same plan
     fans one task per WARC segment (the format is designed for
-    per-file splits; per-record gzip members keep each inflate small)."""
+    per-file splits; per-record gzip members keep each inflate small).
+    Damaged segments salvage their parsed prefix by default — pass
+    on_error="fail" to make corruption fail the task instead."""
     files = spark.read.format("binaryFile") \
         .option("pathGlobFilter", "*.{warc,warc.gz}") \
         .load(warc_dir).select("content")
-    return files.mapInArrow(_page_record_batches, PAGES_DDL)
+    return files.mapInArrow(_page_record_batches(on_error), PAGES_DDL)
 
 
 def stream_warc_pages(spark, warc_dir: str,
-                      max_files_per_trigger: int | None = None):
+                      max_files_per_trigger: int | None = None,
+                      on_error: str = "salvage"):
     """Streaming WARC source: the continuous-crawl ingest shape —
     .warc(.gz) segments arriving in a directory become a file-source
     stream (one input row per segment, checkpoint tracks which segments
     are done), parsed distributed by the same mapInArrow body as the
-    batch reader."""
+    batch reader.  Damaged segments salvage by default: one torn upload
+    must not kill the long-running ingest query."""
     # binaryFile's schema is fixed by the source but streaming reads
     # must state it explicitly.
     reader = spark.readStream.format("binaryFile") \
@@ -406,7 +432,7 @@ def stream_warc_pages(spark, warc_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(warc_dir).select("content")
-    return files.mapInArrow(_page_record_batches, PAGES_DDL)
+    return files.mapInArrow(_page_record_batches(on_error), PAGES_DDL)
 
 
 def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:

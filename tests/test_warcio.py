@@ -364,3 +364,25 @@ def test_writer_rejects_header_injection():
                 "https://x/\ninjected: 1"):
         with pytest.raises(WarcError):
             write_warc([(bad, dt.datetime(2024, 1, 1), b"x")])
+
+
+def test_salvage_keeps_prefix_of_damaged_segment(spark, tmp_path):
+    """A torn segment costs its unread records, never the task: the
+    parsed prefix survives, other segments are unaffected, and
+    on_error='fail' still makes corruption loud."""
+    good = write_warc(ROWS[:2])
+    torn = write_warc(ROWS[2:])[:-30]  # truncate mid-record
+    (tmp_path / "ok.warc").write_bytes(good)
+    (tmp_path / "torn.warc").write_bytes(torn)
+    (tmp_path / "junk.warc.gz").write_bytes(b"\x1f\x8b garbage")
+
+    got = read_warc_pages(spark, str(tmp_path)).collect()
+    keys = sorted((r["url"], r["warc_ts"]) for r in got)
+    # both good records + the torn segment's intact prefix (1 of 2);
+    # the junk gz contributes nothing
+    assert keys == sorted((u, t) for u, t, _ in ROWS[:3])
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_warc_pages(spark, str(tmp_path), on_error="fail").collect()
