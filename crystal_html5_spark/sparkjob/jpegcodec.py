@@ -231,7 +231,9 @@ def encode_jpeg(pixels, quality: int = 92,
     Annex K.2 quantization table (id 1); all components share the
     luminance Huffman tables (conforming — ids are per-scan-component).
     ``restart_interval`` > 0 emits DRI + RST0-7 every that many MCUs
-    (byte-aligned, DC prediction reset; sequential mode only).
+    (byte-aligned; DC prediction and, in progressive AC scans, EOB-run
+    state reset — the restart unit is one block in non-interleaved
+    scans).
 
     ``progressive=True`` emits a T.81 Annex G progression exercising
     all four scan kinds: DC first (Al=1, interleaved), per-component AC
@@ -280,11 +282,9 @@ def encode_jpeg(pixels, quality: int = 92,
                        [:8 * mcuy * cv, :8 * mcux * ch] - 128.0)
 
     if progressive:
-        if restart_interval:
-            raise JpegCodecError(
-                "restart intervals unsupported in progressive mode")
         return _encode_progressive(
-            h, w, shifted, hv, qt_of, qts, hmax, vmax)
+            h, w, shifted, hv, qt_of, qts, hmax, vmax,
+            restart_interval)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -467,7 +467,8 @@ def _emit_ac_refine(state: _EobrunState, bw, band: np.ndarray,
 
 
 def _encode_progressive(h: int, w: int, shifted, hv, qt_of, qts,
-                        hmax: int, vmax: int) -> bytes:
+                        hmax: int, vmax: int,
+                        restart_interval: int = 0) -> bytes:
     """Emit a complete SOF2 progressive stream for the prepared
     (level-shifted, MCU-padded) planes.  Progression script:
 
@@ -476,7 +477,10 @@ def _encode_progressive(h: int, w: int, shifted, hv, qt_of, qts,
       3. AC refine Ss=1..63 Ah=1 Al=0, one scan per component
       4. DC refine, all components interleaved, Ah=1 Al=0
 
-    — every Annex G scan kind a conforming decoder must handle."""
+    — every Annex G scan kind a conforming decoder must handle.
+    ``restart_interval`` > 0 emits DRI + RSTm every that many MCUs
+    (blocks, for the non-interleaved AC scans), resetting DC
+    predictors and flushing the EOB-run state per F.2.1.3.1."""
     ncomp = len(shifted)
     qt_mats = [q.reshape(8, 8).astype(np.float64) for q in qts]
     coefs = [_fdct_quant(plane, qt_mats[qt_of[c]])
@@ -509,6 +513,13 @@ def _encode_progressive(h: int, w: int, shifted, hv, qt_of, qts,
     out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xC4, b"\x10" + bytes(_AC_PROG_BITS)
                + bytes(_AC_PROG_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def emit_rst(bw, rst: int) -> int:
+        bw.pad_to_byte()
+        bw.out += bytes((0xFF, 0xD0 + rst))
+        return (rst + 1) % 8
 
     def comp_blocks(c: int):
         """Non-interleaved block grid (spec G.1: excludes MCU padding
@@ -521,8 +532,13 @@ def _encode_progressive(h: int, w: int, shifted, hv, qt_of, qts,
     # Scan 1: DC first, interleaved, Al=1.
     bw = _BitWriter()
     preds = [0] * ncomp
+    rst = mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst = emit_rst(bw, rst)
+                preds = [0] * ncomp
+            mcu += 1
             for c in range(ncomp):
                 ch, cv = hv[c]
                 for vy in range(cv):
@@ -533,13 +549,21 @@ def _encode_progressive(h: int, w: int, shifted, hv, qt_of, qts,
                         preds[c] = v
     out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1) + bw.flush()
 
-    # Scans 2..: AC first per component, Ss=1..63, Al=1.
+    # Scans 2..: AC first per component, Ss=1..63, Al=1.  Restart unit
+    # for non-interleaved scans is one block; the EOB-run state must
+    # flush before each marker.
     for c in range(ncomp):
         bw = _BitWriter()
         state = _EobrunState(bw, ac_codes)
         bh_, bw_n = comp_blocks(c)
+        rst = unit = 0
         for by in range(bh_):
             for bx in range(bw_n):
+                if restart_interval and unit \
+                        and unit % restart_interval == 0:
+                    state.flush()
+                    rst = emit_rst(bw, rst)
+                unit += 1
                 _emit_ac_first(state, bw, coefs[c][by, bx, 1:], 1)
         state.flush()
         out += sos([c + 1], 1, 63, 0, 1) + bw.flush()
@@ -549,16 +573,26 @@ def _encode_progressive(h: int, w: int, shifted, hv, qt_of, qts,
         bw = _BitWriter()
         state = _EobrunState(bw, ac_codes)
         bh_, bw_n = comp_blocks(c)
+        rst = unit = 0
         for by in range(bh_):
             for bx in range(bw_n):
+                if restart_interval and unit \
+                        and unit % restart_interval == 0:
+                    state.flush()
+                    rst = emit_rst(bw, rst)
+                unit += 1
                 _emit_ac_refine(state, bw, coefs[c][by, bx, 1:], 0)
         state.flush()
         out += sos([c + 1], 1, 63, 1, 0) + bw.flush()
 
     # Final scan: DC refinement, interleaved, Ah=1 Al=0 (raw bits).
     bw = _BitWriter()
+    rst = mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst = emit_rst(bw, rst)
+            mcu += 1
             for c in range(ncomp):
                 ch, cv = hv[c]
                 for vy in range(cv):

@@ -278,7 +278,24 @@ def test_progressive_truncation_and_bitflips_raise_typed():
             pass  # either decodes (to something) or raises typed
 
 
-def test_progressive_rejects_restart_interval():
-    with pytest.raises(JpegCodecError):
-        encode_jpeg(np.zeros((8, 8), np.uint8), restart_interval=2,
-                    progressive=True)
+def test_progressive_restart_intervals_round_trip():
+    """DRI + RSTm inside progressive scans: DC predictors and EOB-run
+    state reset at every marker, and the pixels still match the
+    sequential stream exactly (gray and 4:2:0 color, restart interval
+    smaller than blocks-per-scan so every scan kind emits markers)."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 80))
+    for ri in (1, 2, 5):
+        blob = encode_jpeg(img, 80, restart_interval=ri,
+                           progressive=True)
+        assert b"\xff\xdd" in blob  # DRI present
+        assert any(bytes((0xFF, 0xD0 + m)) in blob for m in range(8))
+        prog = decode_jpeg(blob)
+        assert np.array_equal(base[2], prog[2]), ri
+    cimg = rng.integers(0, 256, (24, 33, 3)).astype(np.uint8)
+    cbase = decode_jpeg(encode_jpeg(cimg, subsampling="420"))
+    cprog = decode_jpeg(encode_jpeg(cimg, subsampling="420",
+                                    restart_interval=3,
+                                    progressive=True))
+    assert np.array_equal(cbase[2], cprog[2])
