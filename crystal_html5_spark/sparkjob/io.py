@@ -147,28 +147,44 @@ def compact_latest(spark, dest: str) -> int:
     defers — exactly-once per (url, warc_ts) capture lands everything;
     this maintenance job collapses recrawls).  Returns rows kept.
 
-    Iceberg: one atomic ``CREATE OR REPLACE TABLE AS`` snapshot commit.
-    Parquet: write the compacted data beside the live directory, then a
-    two-rename swap — there is a sub-second window where the directory
-    is absent, so (as with any non-transactional table format) run it
-    offline; readers mid-swap fail loudly rather than seeing duplicates.
-    Ties on (url, warc_ts) break on the later batch_ts, so a re-run is
-    idempotent and deterministic."""
+    Iceberg: one atomic ``CREATE OR REPLACE TABLE AS`` snapshot commit
+    (at real scale this is the backend to use — compaction rides the
+    catalog's transactional swap).  Parquet: LOCAL filesystems only
+    (loudly rejected otherwise — os renames cannot address object
+    stores): write the compacted data beside the live directory, then a
+    two-rename swap.  A crash between the renames is self-healed on the
+    next call (the previous directory is restored before compacting),
+    so a re-run after any outcome converges; there remains a sub-second
+    reader-visible window, so run it offline as any non-transactional
+    rewrite.  Ties on (url, warc_ts) break on the later batch_ts (when
+    present), so re-runs are idempotent and deterministic."""
     import os
     import shutil
 
     from pyspark.sql import Window
 
     if use_catalog(spark, dest):
+        # batch_ts is stamped by write_extracted, but tolerate legacy
+        # tables without it (the parquet branch's guard, mirrored).
+        cols = spark.read.table(dest).columns
+        order = "warc_ts DESC" + (", batch_ts DESC"
+                                  if "batch_ts" in cols else "")
         spark.sql(
             f"CREATE OR REPLACE TABLE {dest} AS "
             f"SELECT * EXCEPT (_rn) FROM (SELECT t.*, ROW_NUMBER() OVER ("
-            "PARTITION BY url ORDER BY warc_ts DESC, batch_ts DESC) AS _rn"
+            f"PARTITION BY url ORDER BY {order}) AS _rn"
             f" FROM {dest} t) WHERE _rn = 1"
         )
         return spark.read.table(dest).count()
 
+    if "://" in dest:
+        raise ValueError(
+            "parquet compaction swaps directories with local renames;"
+            f" for remote storage ({dest!r}) use the Iceberg backend")
     src = f"{dest}/extracted"
+    old = f"{dest}/extracted.old"
+    if not os.path.exists(src) and os.path.exists(old):
+        os.rename(old, src)  # heal a crash between a prior run's renames
     df = spark.read.parquet(src)
     order = [F.desc("warc_ts")]
     if "batch_ts" in df.columns:
@@ -179,7 +195,6 @@ def compact_latest(spark, dest: str) -> int:
     tmp = f"{dest}/extracted.compact.tmp"
     latest.write.mode("overwrite").parquet(tmp)
     kept = spark.read.parquet(tmp).count()
-    old = f"{dest}/extracted.old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(src, old)
     os.rename(tmp, src)

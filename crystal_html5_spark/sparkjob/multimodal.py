@@ -70,14 +70,18 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
                     h = 3 + i % 11
                     # Alternate grayscale and RGB truecolor (same value
                     # generator, 3x values for color — media_pixel_sums'
-                    # oracle replays this arithmetic); every PNG filter
-                    # type still cycles via i % 5.
+                    # oracle replays this arithmetic).  Filter type
+                    # cycles via (i // 5) % 5: PNG rows all have
+                    # i % 5 == 0, so the old `i % 5` was constant 0 and
+                    # filters 1-4 never ran in production (filters are
+                    # lossless, so decoded pixels — and every oracle —
+                    # are unchanged by this).
                     nch = 3 if (i // 5) % 2 else 1
                     px = ((i * 31 + np.arange(h * w * nch,
                                               dtype=np.int64))
                           % 256).reshape(h, w * nch)
                     media.append(encode_png(px, channels=nch,
-                                            filter_type=i % 5))
+                                            filter_type=(i // 5) % 5))
                     mime.append("image/png")
                 elif kind == 1:
                     # Alternate mono and interleaved stereo (same value

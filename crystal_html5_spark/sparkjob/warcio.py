@@ -115,11 +115,9 @@ def write_warc(rows, warcinfo: bytes = b"software: spark-graft\r\n",
 
     Emits a leading ``warcinfo`` record like real crawler output, then
     one ``response`` record per row.  ``gz=True`` emits each record as
-    its own gzip member (the .warc.gz layout Common Crawl publishes)."""
-    out = bytearray(_member(_warcinfo_record(warcinfo), gz))
-    for url, ts, html in rows:
-        out.extend(_member(_response_record(url, ts, html), gz))
-    return bytes(out)
+    its own gzip member (the .warc.gz layout Common Crawl publishes).
+    One serialization loop serves both this and the indexed writer."""
+    return write_warc_indexed(rows, warcinfo, gz)[0]
 
 
 def _metadata_record(url: str, ts: dt.datetime, payload: dict) -> bytes:
@@ -357,16 +355,64 @@ def read_warc_record(data, offset: int, length: int):
 PAGES_DDL = "url string, warc_ts timestamp, html binary"
 
 
-def _salvage_records(blob: bytes):
-    """Yield every record parsed BEFORE the first structural error,
-    swallowing the error itself: at 100 TB a torn tail on one segment
-    must cost its unread records, never the Spark task (the per-page
-    analog — malformed page becomes an error row — is extract_job's
-    rule; this is the per-segment one)."""
-    try:
-        yield from parse_warc(blob)
-    except WarcError:
+def _salvage_records(blob: bytes, stats: dict | None = None):
+    """Salvage as much of a damaged segment as the layout allows, never
+    raising: at 100 TB a corruption must cost the unreadable records,
+    not the Spark task (the per-page analog — malformed page becomes an
+    error row — is extract_job's rule; this is the per-segment one).
+
+    Per-record-gzip segments recover at MEMBER granularity — the whole
+    point of that layout: a corrupt member is skipped by resyncing on
+    the next gzip magic and every later member still parses.  Plain
+    segments keep the prefix before the first framing error (framing
+    cannot be trusted past it).  ``stats`` (if given) counts
+    ``drops`` so callers can surface the loss instead of hiding it."""
+    def dropped() -> None:
+        if stats is not None:
+            stats["drops"] = stats.get("drops", 0) + 1
+
+    if blob[:2] != _GZIP_MAGIC:
+        try:
+            yield from parse_warc(blob)
+        except WarcError:
+            dropped()
         return
+    import zlib
+
+    mv = memoryview(blob)
+    n = len(blob)
+    pos = 0
+    chunk_size = 1 << 18
+    while pos < n:
+        d = zlib.decompressobj(31)
+        out = bytearray()
+        mpos = pos
+        ok = True
+        while mpos < n and not d.eof:
+            chunk = mv[mpos:mpos + chunk_size]
+            try:
+                out += d.decompress(chunk)
+            except zlib.error:
+                ok = False
+                break
+            mpos += len(chunk)
+            if d.eof:
+                mpos -= len(d.unused_data)
+                out += d.flush()
+        if not ok or not d.eof or mpos <= pos:
+            # Corrupt/truncated member: resync on the next gzip header
+            # (magic + deflate method byte) and drop just this member.
+            dropped()
+            nxt = blob.find(_GZIP_MAGIC + b"\x08", pos + 1)
+            if nxt == -1:
+                return
+            pos = nxt
+            continue
+        pos = mpos
+        try:
+            yield from parse_warc(bytes(out))
+        except WarcError:
+            dropped()  # framing damage inside one inflated member
 
 
 def _page_record_batches(on_error: str):
@@ -379,16 +425,32 @@ def _page_record_batches(on_error: str):
         raise ValueError(f"unknown on_error {on_error!r}")
 
     def batches(iterator):
+        import sys
+
         import pyarrow as pa
 
-        parse = parse_warc if on_error == "fail" else _salvage_records
         for batch in iterator:
             urls, tss, htmls = [], [], []
             for blob in batch.column("content"):
-                for url, ts, html in parse(blob.as_py()):
+                raw = blob.as_py()
+                if on_error == "fail":
+                    recs = parse_warc(raw)
+                else:
+                    stats: dict = {}
+                    recs = _salvage_records(raw, stats)
+                for url, ts, html in recs:
                     urls.append(url)
                     tss.append(ts)
                     htmls.append(html)
+                if on_error != "fail" and stats.get("drops"):
+                    # Salvage must be VISIBLE, not silent data loss:
+                    # executor stderr carries the per-segment count.
+                    print(
+                        f"[warcio] salvage: dropped {stats['drops']}"
+                        f" damaged member(s)/span(s) in a"
+                        f" {len(raw)}-byte segment",
+                        file=sys.stderr,
+                    )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(urls, pa.string()),
                  pa.array(tss, pa.timestamp("us")),

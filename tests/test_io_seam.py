@@ -198,3 +198,31 @@ def test_compact_latest_keeps_only_latest_capture(spark, tmp_path):
     # the sink remains idempotent against already-compacted keys
     tableio.write_extracted(spark, b2, dest)
     assert spark.read.parquet(f"{dest}/extracted").count() == 2
+
+
+def test_compact_latest_heals_interrupted_swap(spark, tmp_path):
+    """A crash between the two renames (live dir moved aside, new one
+    not yet in place) is healed on the next call; remote-looking dests
+    are rejected loudly."""
+    import datetime as dt
+    import os
+
+    from crystal_html5_spark.sparkjob import io as tableio
+
+    dest = str(tmp_path / "tbl")
+    sch = "url string, warc_ts timestamp, text binary"
+    t0 = dt.datetime(2024, 1, 1)
+    b = spark.createDataFrame(
+        [("u1", t0, b"a"), ("u1", dt.datetime(2024, 1, 2), b"b")], sch)
+    tableio.write_extracted(spark, b, dest)
+    # simulate the torn state: live dir renamed aside, swap incomplete
+    os.rename(f"{dest}/extracted", f"{dest}/extracted.old")
+    kept = tableio.compact_latest(spark, dest)
+    assert kept == 1
+    rows = spark.read.parquet(f"{dest}/extracted").collect()
+    assert len(rows) == 1 and bytes(rows[0]["text"]) == b"b"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tableio.compact_latest(spark, "s3a://bucket/out")

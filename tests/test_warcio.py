@@ -386,3 +386,25 @@ def test_salvage_keeps_prefix_of_damaged_segment(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_warc_pages(spark, str(tmp_path), on_error="fail").collect()
+
+
+def test_salvage_recovers_later_gzip_members():
+    """Per-record members make corruption local: a bit-flipped middle
+    member is skipped via gzip-magic resync and every later member's
+    record still parses (the layout's whole point)."""
+    from crystal_html5_spark.sparkjob.warcio import (
+        _salvage_records,
+        write_warc_indexed,
+    )
+
+    blob, idx = write_warc_indexed(ROWS, gz=True)
+    # corrupt the SECOND response member's deflate data
+    _u, _t, off, ln = idx[1]
+    corrupt = bytearray(blob)
+    corrupt[off + ln // 2] ^= 0xFF
+    stats = {}
+    got = list(_salvage_records(bytes(corrupt), stats))
+    assert stats.get("drops", 0) >= 1
+    # records 0, 2, 3 survive; only the damaged member's record is lost
+    assert [g[0] for g in got] == [ROWS[0][0], ROWS[2][0], ROWS[3][0]]
+    assert got == [ROWS[0], ROWS[2], ROWS[3]]
