@@ -90,6 +90,56 @@ GROUP BY c_mktsegment
 ORDER BY segment
 """
 
+
+def _shipping_priority_sql(dialect: str) -> str:
+    """TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem
+    with date predicates on both fact sides, revenue top-10.  The date
+    and segment filters push into both scans; at scale the only
+    exchange is the orders⨝lineitem orderkey shuffle (customer
+    broadcasts).  Revenue in exact cents (the FLOOR trick all the
+    relational oracles share)."""
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    return f"""
+SELECT {hint}l_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o_orderdate, o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def _local_supplier_volume_sql(dialect: str) -> str:
+    """TPC-H Q5 shape: revenue by nation where the supplier and the
+    ordering customer share a nation, restricted to one region — the
+    classic 6-way join whose small dims (supplier/nation/region)
+    broadcast while the orders⨝lineitem backbone shuffles once on
+    orderkey.  Region picked dynamically (MIN(r_name)) so the query is
+    dataset-independent."""
+    hint = "/*+ BROADCAST(s, n, r) */ " if dialect == "spark" else ""
+    return f"""
+SELECT {hint}n_name AS nation,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+ JOIN orders o ON c.c_custkey = o.o_custkey
+ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+ JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+ JOIN nation n ON s.s_nationkey = n.n_nationkey
+ JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, nation
+"""
+
 _TOP_ORDERS_PER_CUSTOMER = """
 SELECT o_custkey, o_orderkey, rn
 FROM (
@@ -1894,6 +1944,8 @@ QUERIES: dict = {
     "pricing_summary": _sql(_PRICING_SUMMARY_SPARK),
     "top_revenue_orders": _sql(_TOP_REVENUE_SPARK),
     "segment_totals": _sql(_SEGMENT_TOTALS_SPARK),
+    "shipping_priority": _sql(_shipping_priority_sql("spark")),
+    "local_supplier_volume": _sql(_local_supplier_volume_sql("spark")),
     "top_orders_per_customer": _sql(_TOP_ORDERS_PER_CUSTOMER),
     "latest_event_per_user": _sql(_LATEST_EVENT_PER_USER),
     "event_type_stats": _sql(_EVENT_TYPE_STATS),
@@ -1949,6 +2001,8 @@ ORACLES: dict = {
     "segment_totals": _SEGMENT_TOTALS_SPARK.replace(
         "/*+ BROADCAST(c) */ ", ""
     ),
+    "shipping_priority": _shipping_priority_sql("duck"),
+    "local_supplier_volume": _local_supplier_volume_sql("duck"),
     "top_orders_per_customer": _TOP_ORDERS_PER_CUSTOMER,
     "latest_event_per_user": _LATEST_EVENT_PER_USER,
     "event_type_stats": _EVENT_TYPE_STATS,
