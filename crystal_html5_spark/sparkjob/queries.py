@@ -91,6 +91,42 @@ ORDER BY segment
 """
 
 
+# Event funnel (view -> click -> purchase, strictly time-ordered per
+# user): the staged-MIN formulation — each stage's earliest qualifying
+# timestamp must follow the previous stage's — avoids per-user event
+# sequences entirely (no collect_list/window state; three filtered
+# aggregations + user_id equi-joins, all shuffle-partitioned on the
+# same key).  Identical ANSI text runs on both engines.
+_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+), u AS (
+  SELECT DISTINCT user_id FROM events
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+ORDER BY u.user_id
+"""
+
+
 def _shipping_priority_sql(dialect: str) -> str:
     """TPC-H Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem
     with date predicates on both fact sides, revenue top-10.  The date
@@ -1951,6 +1987,7 @@ QUERIES: dict = {
     "event_type_stats": _sql(_EVENT_TYPE_STATS),
     "events_windowed": _sql(_EVENTS_WINDOWED_SPARK),
     "events_sessionize": _sql(_EVENTS_SESSIONIZE),
+    "events_funnel": _sql(_EVENTS_FUNNEL),
     # training-data ops over documents
     "docs_dedup_exact": _sql(_DOCS_DEDUP_EXACT),
     "docs_token_stats": _sql(_DOCS_TOKEN_STATS_SPARK),
@@ -2008,6 +2045,7 @@ ORACLES: dict = {
     "event_type_stats": _EVENT_TYPE_STATS,
     "events_windowed": _EVENTS_WINDOWED_DUCK,
     "events_sessionize": _EVENTS_SESSIONIZE,
+    "events_funnel": _EVENTS_FUNNEL,
     "docs_dedup_exact": _DOCS_DEDUP_EXACT,
     "docs_token_stats": _DOCS_TOKEN_STATS_DUCK,
     "docs_quality": _DOCS_QUALITY_DUCK,
