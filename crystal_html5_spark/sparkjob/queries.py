@@ -91,6 +91,35 @@ ORDER BY segment
 """
 
 
+def _docs_sample_sql(dialect: str) -> str:
+    """Deterministic stratified sampling — the reproducible-curation
+    primitive every training-data pipeline needs: per-language keep
+    rates (downsample the dominant language, keep the rest denser)
+    decided by a pure hash of the doc id, so the same corpus always
+    yields the same sample on any engine, any partitioning, any run.
+    Map-side filter; no randomness, no state.  The hash bucket is the
+    md5 prefix of the id decoded to an integer (conv() on Spark, digit
+    expansion in the DuckDB oracle — the minhash family's dual
+    derivation)."""
+    if dialect == "spark":
+        bucket = ("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4),"
+                  " 16, 10) AS BIGINT) % 100")
+    else:
+        digits = " + ".join(
+            "(CAST(instr('0123456789abcdef',"
+            f" substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1))"
+            f" AS BIGINT) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        bucket = f"({digits}) % 100"
+    return f"""
+SELECT doc_id, lang, CAST({bucket} AS BIGINT) AS sample_bucket
+FROM documents
+WHERE {bucket} < CASE lang WHEN 'en' THEN 25 ELSE 60 END
+ORDER BY doc_id
+"""
+
+
 # Event funnel (view -> click -> purchase, strictly time-ordered per
 # user): the staged-MIN formulation — each stage's earliest qualifying
 # timestamp must follow the previous stage's — avoids per-user event
@@ -2004,6 +2033,7 @@ QUERIES: dict = {
     "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
+    "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
     "docs_winnow_fp": _sql(_docs_winnow_sql("spark")),
     # similarity search over embeddings
     "ann_cosine_topk": _sql(_ANN_TOPK_SPARK),
@@ -2061,6 +2091,7 @@ ORACLES: dict = {
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
+    "docs_sample_stratified": _docs_sample_sql("duck"),
     "docs_winnow_fp": _docs_winnow_sql("duck"),
     "ann_cosine_topk": _ANN_TOPK_DUCK,
     "emb_quantize": _emb_quantize_sql("duck"),
