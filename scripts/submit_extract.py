@@ -33,11 +33,19 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True)
+    ap.add_argument("--pages", required=True,
+                    help="pages parquet/table, or a directory of"
+                         " .warc(.gz) segments with --warc")
     ap.add_argument("--out", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--salt", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--warc", action="store_true",
+                    help="read --pages as WARC segments (gz members ok;"
+                         " damaged segments salvage)")
+    ap.add_argument("--wet-out", default=None,
+                    help="also emit extracted text as .warc.wet.gz"
+                         " segments (one per partition) to this dir")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("html5x-extract").getOrCreate()
@@ -50,13 +58,26 @@ def main() -> None:
         write_with_lineage,
     )
 
-    pages = tableio.read_pages(spark, args.pages)
+    if args.warc:
+        from crystal_html5_spark.sparkjob.warcio import read_warc_pages
+
+        pages = read_warc_pages(spark, args.pages)
+    else:
+        pages = tableio.read_pages(spark, args.pages)
     done = read_done_keys(spark, args.out) if args.resume else None
     out = run_extract(
         spark, pages, num_partitions=args.partitions, salt=args.salt,
         done_keys=done,
     )
+    if args.wet_out:
+        # Two sinks consume the same extraction: cache it so the parse
+        # runs once, not per action.
+        out = out.persist()
     write_with_lineage(out, args.out)
+    if args.wet_out:
+        from crystal_html5_spark.sparkjob.warcio import write_wet_sink
+
+        write_wet_sink(out, args.wet_out, gz=True)
     done = tableio.read_done_keys(spark, args.out)
     n = done.count() if done is not None else 0
     print(f"extracted_total={n}")
