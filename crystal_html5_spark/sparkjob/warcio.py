@@ -476,6 +476,36 @@ def read_warc_pages(spark, warc_dir: str, on_error: str = "salvage"):
     return files.mapInArrow(_page_record_batches(on_error), PAGES_DDL)
 
 
+def read_wet_text(spark, wet_dir: str):
+    """WET directory -> text DataFrame (url, warc_ts, text binary):
+    the consumption side of the WET sink — point it at this pipeline's
+    own segments or any published .warc.wet(.gz) corpus.  One binaryFile
+    row per segment, conversion records parsed distributed."""
+    files = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.{warc.wet,warc.wet.gz}") \
+        .load(wet_dir).select("content")
+
+    def records(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            urls, tss, texts = [], [], []
+            for blob in batch.column("content"):
+                for url, ts, text in parse_wet(blob.as_py()):
+                    urls.append(url)
+                    tss.append(ts)
+                    texts.append(text)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(texts, pa.binary())],
+                names=["url", "warc_ts", "text"],
+            )
+
+    return files.mapInArrow(
+        records, "url string, warc_ts timestamp, text binary")
+
+
 def stream_warc_pages(spark, warc_dir: str,
                       max_files_per_trigger: int | None = None,
                       on_error: str = "salvage"):

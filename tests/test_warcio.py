@@ -408,3 +408,26 @@ def test_salvage_recovers_later_gzip_members():
     # records 0, 2, 3 survive; only the damaged member's record is lost
     assert [g[0] for g in got] == [ROWS[0][0], ROWS[2][0], ROWS[3][0]]
     assert got == [ROWS[0], ROWS[2], ROWS[3]]
+
+
+def test_read_wet_text_round_trips_sink_output(spark, tmp_path):
+    """The WET source reads back exactly what the WET sink wrote —
+    gz and plain segments, full distributed loop."""
+    from crystal_html5_spark.sparkjob.extract_job import run_extract
+    from crystal_html5_spark.sparkjob.pages import pages_df
+    from crystal_html5_spark.sparkjob.warcio import (
+        read_wet_text,
+        write_wet_sink,
+    )
+
+    out = run_extract(spark, pages_df(spark, 30), num_partitions=2)
+    d1 = str(tmp_path / "plain")
+    d2 = str(tmp_path / "gz")
+    write_wet_sink(out, d1)
+    write_wet_sink(out, d2, gz=True)
+    want = {(r["url"], r["warc_ts"]): bytes(r["text"])
+            for r in out.collect()}
+    for d in (d1, d2):
+        back = {(r["url"], r["warc_ts"]): bytes(r["text"])
+                for r in read_wet_text(spark, d).collect()}
+        assert back == want
