@@ -355,7 +355,8 @@ def read_warc_record(data, offset: int, length: int):
 PAGES_DDL = "url string, warc_ts timestamp, html binary"
 
 
-def _salvage_records(blob: bytes, stats: dict | None = None):
+def _salvage_records(blob: bytes, stats: dict | None = None,
+                     parse=None):
     """Salvage as much of a damaged segment as the layout allows, never
     raising: at 100 TB a corruption must cost the unreadable records,
     not the Spark task (the per-page analog — malformed page becomes an
@@ -366,14 +367,19 @@ def _salvage_records(blob: bytes, stats: dict | None = None):
     the next gzip magic and every later member still parses.  Plain
     segments keep the prefix before the first framing error (framing
     cannot be trusted past it).  ``stats`` (if given) counts
-    ``drops`` so callers can surface the loss instead of hiding it."""
+    ``drops`` so callers can surface the loss instead of hiding it.
+    ``parse`` selects the record view (parse_warc default; parse_wet
+    for WET segments)."""
+    if parse is None:
+        parse = parse_warc
+
     def dropped() -> None:
         if stats is not None:
             stats["drops"] = stats.get("drops", 0) + 1
 
     if blob[:2] != _GZIP_MAGIC:
         try:
-            yield from parse_warc(blob)
+            yield from parse(blob)
         except WarcError:
             dropped()
         return
@@ -410,17 +416,19 @@ def _salvage_records(blob: bytes, stats: dict | None = None):
             continue
         pos = mpos
         try:
-            yield from parse_warc(bytes(out))
+            yield from parse(bytes(out))
         except WarcError:
             dropped()  # framing damage inside one inflated member
 
 
-def _page_record_batches(on_error: str):
-    """mapInArrow body factory shared by the batch and streaming WARC
-    sources: file-content batches in, (url, warc_ts, html) batches out.
-    ``on_error``: "salvage" keeps each damaged segment's parsed prefix
-    and drops the rest; "fail" propagates (fails the task — for
-    validation runs where corruption must be loud)."""
+def _record_batches(parse, payload_col: str, on_error: str):
+    """mapInArrow body factory shared by every file-based record source
+    (batch WARC, streaming WARC, WET): file-content batches in,
+    (url, warc_ts, <payload_col>) batches out, with one shared salvage
+    policy.  ``on_error``: "salvage" recovers what each damaged segment
+    allows (member-level for gz) and logs drop counts to executor
+    stderr; "fail" propagates (fails the task — for validation runs
+    where corruption must be loud)."""
     if on_error not in ("salvage", "fail"):
         raise ValueError(f"unknown on_error {on_error!r}")
 
@@ -430,18 +438,18 @@ def _page_record_batches(on_error: str):
         import pyarrow as pa
 
         for batch in iterator:
-            urls, tss, htmls = [], [], []
+            urls, tss, payloads = [], [], []
             for blob in batch.column("content"):
                 raw = blob.as_py()
                 if on_error == "fail":
-                    recs = parse_warc(raw)
+                    recs = parse(raw)
                 else:
                     stats: dict = {}
-                    recs = _salvage_records(raw, stats)
-                for url, ts, html in recs:
+                    recs = _salvage_records(raw, stats, parse)
+                for url, ts, payload in recs:
                     urls.append(url)
                     tss.append(ts)
-                    htmls.append(html)
+                    payloads.append(payload)
                 if on_error != "fail" and stats.get("drops"):
                     # Salvage must be VISIBLE, not silent data loss:
                     # executor stderr carries the per-segment count.
@@ -454,8 +462,8 @@ def _page_record_batches(on_error: str):
             yield pa.RecordBatch.from_arrays(
                 [pa.array(urls, pa.string()),
                  pa.array(tss, pa.timestamp("us")),
-                 pa.array(htmls, pa.binary())],
-                names=["url", "warc_ts", "html"],
+                 pa.array(payloads, pa.binary())],
+                names=["url", "warc_ts", payload_col],
             )
 
     return batches
@@ -473,37 +481,23 @@ def read_warc_pages(spark, warc_dir: str, on_error: str = "salvage"):
     files = spark.read.format("binaryFile") \
         .option("pathGlobFilter", "*.{warc,warc.gz}") \
         .load(warc_dir).select("content")
-    return files.mapInArrow(_page_record_batches(on_error), PAGES_DDL)
+    return files.mapInArrow(
+        _record_batches(parse_warc, "html", on_error), PAGES_DDL)
 
 
-def read_wet_text(spark, wet_dir: str):
+def read_wet_text(spark, wet_dir: str, on_error: str = "salvage"):
     """WET directory -> text DataFrame (url, warc_ts, text binary):
     the consumption side of the WET sink — point it at this pipeline's
     own segments or any published .warc.wet(.gz) corpus.  One binaryFile
-    row per segment, conversion records parsed distributed."""
+    row per segment, conversion records parsed distributed through the
+    same shared batching/salvage body as the WARC sources (a damaged
+    segment costs its unreadable records, never the task)."""
     files = spark.read.format("binaryFile") \
         .option("pathGlobFilter", "*.{warc.wet,warc.wet.gz}") \
         .load(wet_dir).select("content")
-
-    def records(iterator):
-        import pyarrow as pa
-
-        for batch in iterator:
-            urls, tss, texts = [], [], []
-            for blob in batch.column("content"):
-                for url, ts, text in parse_wet(blob.as_py()):
-                    urls.append(url)
-                    tss.append(ts)
-                    texts.append(text)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(urls, pa.string()),
-                 pa.array(tss, pa.timestamp("us")),
-                 pa.array(texts, pa.binary())],
-                names=["url", "warc_ts", "text"],
-            )
-
     return files.mapInArrow(
-        records, "url string, warc_ts timestamp, text binary")
+        _record_batches(parse_wet, "text", on_error),
+        "url string, warc_ts timestamp, text binary")
 
 
 def stream_warc_pages(spark, warc_dir: str,
@@ -524,7 +518,8 @@ def stream_warc_pages(spark, warc_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(warc_dir).select("content")
-    return files.mapInArrow(_page_record_batches(on_error), PAGES_DDL)
+    return files.mapInArrow(
+        _record_batches(parse_warc, "html", on_error), PAGES_DDL)
 
 
 def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:

@@ -69,15 +69,26 @@ def main() -> None:
         spark, pages, num_partitions=args.partitions, salt=args.salt,
         done_keys=done,
     )
-    if args.wet_out:
-        # Two sinks consume the same extraction: cache it so the parse
-        # runs once, not per action.
-        out = out.persist()
     write_with_lineage(out, args.out)
     if args.wet_out:
+        import shutil
+
+        from pyspark.sql import functions as F
+
         from crystal_html5_spark.sparkjob.warcio import write_wet_sink
 
-        write_wet_sink(out, args.wet_out, gz=True)
+        # WET segments are a SNAPSHOT of the full extracted table (read
+        # back from the sink just written — no second parse, no cache):
+        # deriving them from `out` would write delta-only segments on a
+        # --resume run while stale full segments from earlier runs
+        # linger beside them.  Error rows (err != '') stay in the
+        # parquet table for triage but are not text — they would be
+        # indistinguishable from genuinely empty documents in WET.
+        src = (args.out if tableio.use_catalog(spark, args.out)
+               else f"{args.out}/extracted")
+        full = tableio.read_table(spark, src).filter(F.col("err") == "")
+        shutil.rmtree(args.wet_out, ignore_errors=True)
+        write_wet_sink(full, args.wet_out, gz=True)
     done = tableio.read_done_keys(spark, args.out)
     n = done.count() if done is not None else 0
     print(f"extracted_total={n}")
