@@ -522,10 +522,11 @@ def stream_warc_pages(spark, warc_dir: str,
         _record_batches(parse_warc, "html", on_error), PAGES_DDL)
 
 
-def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:
-    """Distributed WET sink: each partition of the extracted frame
-    becomes one .warc.wet(.gz) segment file (the corpus-native layout —
-    thousands of independently readable segments at 100 TB).
+def _segment_sink(df, out_dir: str, ext: str, warcinfo: bytes,
+                  cols: tuple, make_record, gz: bool) -> None:
+    """Shared distributed segment sink (WET and WAT write sides): each
+    partition of ``df`` becomes one segment file of ``make_record``
+    records in the corpus-native thousands-of-segments layout.
 
     Streaming by construction: rows arrive as Arrow batches (mapInArrow,
     no per-row pickling) and each record is serialized and written to
@@ -536,7 +537,6 @@ def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.wet.gz" if gz else ".warc.wet"
 
     def emit(iterator):
         import os as _os
@@ -548,19 +548,15 @@ def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:
         tmp = final = None
         wrote = 0
         for batch in iterator:
-            urls = batch.column("url")
-            tss = batch.column("warc_ts")
-            texts = batch.column("text")
+            vals = [batch.column(c) for c in cols]
             for i in range(batch.num_rows):
                 if f is None:  # open lazily: empty partitions emit nothing
                     pid = TaskContext.get().partitionId()
                     final = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
                     tmp = final + ".tmp"
                     f = open(tmp, "wb")
-                    f.write(_member(_warcinfo_record(b"format: WET\r\n"),
-                                    gz))
-                rec = _conversion_record(
-                    urls[i].as_py(), tss[i].as_py(), bytes(texts[i].as_py()))
+                    f.write(_member(_warcinfo_record(warcinfo), gz))
+                rec = make_record(*(v[i].as_py() for v in vals))
                 f.write(_member(rec, gz))
                 wrote += 1
         if f is not None:
@@ -569,6 +565,40 @@ def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:
         yield pa.RecordBatch.from_arrays(
             [pa.array([wrote], pa.int64())], names=["n"])
 
-    (extracted.select("url", "warc_ts", "text")
+    (df.select(*cols)
         .mapInArrow(emit, "n bigint")
         .write.mode("overwrite").format("noop").save())
+
+
+def _wet_record(url, ts, text) -> bytes:
+    return _conversion_record(url, ts, bytes(text))
+
+
+def write_wet_sink(extracted, out_dir: str, gz: bool = False) -> None:
+    """Distributed WET sink: (url, warc_ts, text) frame -> one
+    .warc.wet(.gz) segment per partition (see _segment_sink)."""
+    _segment_sink(extracted, out_dir,
+                  ".warc.wet.gz" if gz else ".warc.wet",
+                  b"format: WET\r\n", ("url", "warc_ts", "text"),
+                  _wet_record, gz)
+
+
+def _wat_record(url, ts, title, links) -> bytes:
+    meta: dict = {"Links": [{"path": "A@/href", "url": x}
+                            for x in (links or [])]}
+    if title is not None:
+        meta["Head"] = {"Title": title}
+    return _metadata_record(url, ts, meta)
+
+
+def write_wat_sink(meta_df, out_dir: str, gz: bool = True) -> None:
+    """Distributed WAT sink: a (url, warc_ts, title string?, links
+    array<string>) frame becomes one .warc.wat(.gz) metadata-record
+    segment per partition — the link-graph/metadata leg of the
+    WARC/WAT/WET triad, written in the same streaming
+    segment-per-partition shape as the WET sink."""
+    _segment_sink(meta_df, out_dir,
+                  ".warc.wat.gz" if gz else ".warc.wat",
+                  b"format: WAT\r\n",
+                  ("url", "warc_ts", "title", "links"),
+                  _wat_record, gz)

@@ -224,7 +224,7 @@ def test_wet_sink_streams_not_buffers(spark, tmp_path):
 
     from crystal_html5_spark.sparkjob import warcio
 
-    src = inspect.getsource(warcio.write_wet_sink)
+    src = inspect.getsource(warcio._segment_sink)  # shared sink body
     assert "list(" not in src and "foreachPartition" not in src
     assert "mapInArrow" in src
     # and it still round-trips, including gz segments
@@ -431,3 +431,35 @@ def test_read_wet_text_round_trips_sink_output(spark, tmp_path):
         back = {(r["url"], r["warc_ts"]): bytes(r["text"])
                 for r in read_wet_text(spark, d).collect()}
         assert back == want
+
+
+def test_wat_sink_distributed(spark, tmp_path):
+    """WAT sink: (url, ts, title, links) rows become per-partition
+    metadata-record segments that parse back exactly."""
+    import glob
+
+    from crystal_html5_spark.sparkjob.warcio import (
+        parse_wat,
+        write_wat_sink,
+    )
+
+    rows = [
+        ("https://a/1", dt.datetime(2024, 1, 1), "T1", ["/x", "https://b/y"]),
+        ("https://a/2", dt.datetime(2024, 1, 2), None, []),
+        ("https://a/3", dt.datetime(2024, 1, 3), "ünïcode", ["/z"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, title string,"
+        " links array<string>").repartition(2)
+    dest = str(tmp_path / "wat")
+    write_wat_sink(df, dest)
+    segs = sorted(glob.glob(dest + "/part-*.warc.wat.gz"))
+    assert segs and not glob.glob(dest + "/*.tmp")
+    back = []
+    for seg in segs:
+        back.extend(parse_wat(open(seg, "rb").read()))
+    got = {(u, t): (m.get("Head", {}).get("Title"),
+                    [x["url"] for x in m.get("Links", [])])
+           for u, t, m in back}
+    want = {(u, t): (title, links) for u, t, title, links in rows}
+    assert got == want
