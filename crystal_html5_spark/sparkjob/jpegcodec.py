@@ -12,10 +12,14 @@ baseline JPEG in that scope, not just this module's output.
 
 Restart intervals (DRI + RST0-7) and 0xFF fill bytes — both spec-
 conforming — are handled on decode, and the encoder can emit restart
-markers.  Remaining honest fallback: progressive (SOF2) and other
-component counts raise ``JpegCodecError`` and the caller's feature
-path falls back to header-only features.  Complements pngcodec.py
-(PNG) and wavcodec.py (WAV + JPEG header-only parse).
+markers.  Progressive (SOF2) streams are both encoded and decoded per
+T.81 Annex G (all four scan kinds: DC/AC first + refinement, EOB runs,
+correction bits); a progressive re-encode of the same quantized
+coefficients decodes to byte-identical pixels vs sequential.
+Remaining honest fallback: arithmetic coding, non-8-bit precision and
+unusual component counts raise ``JpegCodecError`` and the caller's
+feature path falls back to header-only features.  Complements
+pngcodec.py (PNG) and wavcodec.py (WAV + JPEG header-only parse).
 """
 
 from __future__ import annotations
