@@ -1,0 +1,115 @@
+"""Distributed connected components via alternating large-star /
+small-star rounds (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond", SoCC 2014).
+
+This is the piece that turns near-duplicate *pairs* into dedup
+*decisions*: LSH band joins produce candidate edges, exact Jaccard
+verification filters them, and the connected components of the surviving
+graph are the duplicate clusters — one canonical document (the minimum
+id) is kept per cluster.
+
+Why this algorithm and not label propagation: plain min-label
+propagation needs O(diameter) shuffle rounds, and real dup graphs
+contain long chains (A~B~C~... of gradually drifting boilerplate).
+Large-star/small-star contracts paths by pointing every node at the
+minimum of its neighborhood, converging in O(log n) rounds regardless
+of diameter, and each round is nothing but groupBy(min) + equi-join —
+pure shuffle primitives that AQE can replan, no collect_list of
+neighborhoods (high-degree nodes never materialize an adjacency list
+on one task).
+
+Reference parity note: the reference repo (naqvis/crystal-html5) is an
+HTML5 parsing library and has no graph operators; this module is part
+of the beyond-reference LLM-data-pipeline surface (SURVEY.md §2,
+"LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_ROUNDS = 50
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a < b), self-loops dropped,
+    duplicates collapsed."""
+    return (
+        e.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    min({u} ∪ Γ(u)).  One groupBy + one join — both shuffle on the
+    node id, so AQE coalesces them into the same exchange footprint."""
+    nbrs = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = nbrs.groupBy("a").agg(F.min(F.least("a", "b")).alias("m"))
+    out = (
+        nbrs.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    return _canon(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge from its larger endpoint u to the smaller v,
+    then connect every such v (and u itself) to min(N(u) ∪ {u})."""
+    o = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        o.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+    return _canon(out)
+
+
+def connected_components(edges: DataFrame, col_a: str, col_b: str,
+                         ) -> DataFrame:
+    """Return (node, component) for every node appearing in `edges`,
+    where `component` is the minimum node id reachable from it.
+
+    `edges` is undirected input; orientation, duplicates and self-loops
+    are normalized away.  Node ids must be orderable (the component
+    representative is the minimum).  Each round `localCheckpoint`s its
+    edge set: iterative DataFrames MUST truncate the logical plan, not
+    just cache data — each star round references its input ~4 times, so
+    an un-truncated plan grows exponentially and OOMs the driver during
+    analysis after a handful of rounds.  On a real cluster prefer
+    reliable `checkpoint()` (localCheckpoint ties the data to executor
+    lifetime, which breaks under dynamic allocation / executor loss).
+    """
+    e = _canon(
+        edges.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    ).localCheckpoint(eager=True)
+    for _ in range(MAX_ROUNDS):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Fixpoint test: canonical edge sets are equal iff same count and
+        # no row of e2 is outside e (both are distinct sets).
+        changed = (
+            e2.count() != e.count()
+            or e2.join(e, ["a", "b"], "left_anti").limit(1).count() > 0
+        )
+        e = e2
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} rounds")
+    # At the fixpoint the edges form min-rooted stars: every canonical
+    # edge (a, b) has a = component minimum.  Leaves label from their
+    # edge; roots label themselves.  The min-aggregation is a safety net
+    # (it is also correct on any star forest).
+    labels = (
+        e.select(F.col("b").alias("node"), F.col("a").alias("component"))
+        .union(e.select(F.col("a").alias("node"), F.col("a").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return labels

@@ -629,7 +629,10 @@ pairs AS (
 )"""
 
 
-def _docs_jaccard_verify_sql(dialect: str) -> str:
+def _jaccard_exprs(dialect: str) -> tuple:
+    """(sset CTE, intersection expr, |a|, |b|) for the exact-Jaccard
+    verification of LSH candidate pairs — shared by the verify query and
+    the dup-cluster edge query so both grade the same edge set."""
     if dialect == "spark":
         sset = """
 sset AS (SELECT doc_id, array_distinct(shingles) AS ss FROM sh)"""
@@ -640,7 +643,11 @@ sset AS (SELECT doc_id, array_distinct(shingles) AS ss FROM sh)"""
 sset AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)"""
         inter = "len(list_intersect(a.ss, b.ss))"
         card = "len({0}.ss)"
-    na, nb = card.format("a"), card.format("b")
+    return sset, inter, card.format("a"), card.format("b")
+
+
+def _docs_jaccard_verify_sql(dialect: str) -> str:
+    sset, inter, na, nb = _jaccard_exprs(dialect)
     return f"""{_mh_prefix(dialect, with_bands=True)},
 {_JACCARD_PAIRS_CTE}, {sset}
 SELECT doc_a, doc_b,
@@ -655,6 +662,80 @@ ORDER BY doc_a, doc_b
 
 _DOCS_JACCARD_VERIFY_SPARK = _docs_jaccard_verify_sql("spark")
 _DOCS_JACCARD_VERIFY_DUCK = _docs_jaccard_verify_sql("duck")
+
+# ---- duplicate clusters: pairs -> connected components -> keep-list ----
+#
+# The end of the dedup story: LSH gives candidate pairs, exact Jaccard
+# verifies them, and the connected components of the surviving graph are
+# the duplicate clusters.  One canonical doc (the min doc_id) is kept
+# per cluster.  Threshold on the SAME quantized jaccard_millis the
+# verify query publishes, so the edge set is exactly "verified pairs at
+# >= 0.5 Jaccard" in both engines.
+_DUP_CLUSTER_MILLIS = 500
+
+
+def _dup_edges_sql(dialect: str) -> str:
+    """Verified near-dup edges (doc_a < doc_b) above the cluster
+    threshold — the shared front half of Spark query and DuckDB
+    oracle."""
+    sset, inter, na, nb = _jaccard_exprs(dialect)
+    return f"""{_mh_prefix(dialect, with_bands=True)},
+{_JACCARD_PAIRS_CTE}, {sset}
+SELECT doc_a, doc_b
+FROM pairs JOIN sset a ON doc_a = a.doc_id JOIN sset b ON doc_b = b.doc_id
+WHERE CAST(FLOOR(1000.0 * {inter} / ({na} + {nb} - {inter}))
+           AS BIGINT) >= {_DUP_CLUSTER_MILLIS}
+"""
+
+
+def _docs_dup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Spark side: iterative large-star/small-star over the verified
+    edge DataFrame (cc.py — Kiveris et al. 2014, O(log n) shuffle
+    rounds, no adjacency lists).  Output: every doc in any verified
+    pair, its cluster representative (min reachable doc_id), and the
+    keep decision."""
+    from .cc import connected_components
+
+    load_views(spark, sf_dir)
+    edges = spark.sql(_dup_edges_sql("spark"))
+    labels = connected_components(edges, "doc_a", "doc_b")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.when(F.col("node") == F.col("component"), 1)
+            .otherwise(0).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _docs_dup_clusters_oracle() -> str:
+    """DuckDB oracle: min-label reachability via WITH RECURSIVE — a
+    genuinely different algorithm (transitive closure with set-dedup)
+    computing the same components."""
+    edges = _dup_edges_sql("duck").strip()
+    # Fold the edge query into one recursive CTE chain.  DuckDB permits
+    # non-recursive CTEs inside WITH RECURSIVE.
+    body = edges[len("WITH"):]  # strip leading WITH, keep the CTE list
+    select_at = body.index("\nSELECT doc_a, doc_b")
+    ctes, edge_select = body[:select_at], body[select_at:].strip()
+    return f"""WITH RECURSIVE {ctes},
+eg AS ({edge_select}),
+und AS (
+  SELECT doc_a AS n, doc_b AS o FROM eg
+  UNION
+  SELECT doc_b AS n, doc_a AS o FROM eg
+),
+walk(n, lbl) AS (
+  SELECT n, n FROM und
+  UNION
+  SELECT u.n, w.lbl FROM und u JOIN walk w ON u.o = w.n
+)
+SELECT n AS doc_id, MIN(lbl) AS cluster_id,
+       CAST(CASE WHEN n = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
+FROM walk GROUP BY n ORDER BY doc_id
+"""
 
 # Top-k shape that scales: the inner ORDER BY ... LIMIT 10 is planned by
 # Catalyst as TakeOrderedAndProject (per-partition top-10 + tiny driver
@@ -2031,6 +2112,7 @@ QUERIES: dict = {
     "docs_simhash": _sql(_DOCS_SIMHASH_SPARK),
     "docs_near_dup_pairs": _sql(_DOCS_NEAR_DUP_PAIRS_SPARK),
     "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
+    "docs_dup_clusters": _docs_dup_clusters,
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2089,6 +2171,7 @@ ORACLES: dict = {
     "docs_simhash": _DOCS_SIMHASH_DUCK,
     "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
+    "docs_dup_clusters": _docs_dup_clusters_oracle(),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
