@@ -663,6 +663,194 @@ ORDER BY doc_a, doc_b
 _DOCS_JACCARD_VERIFY_SPARK = _docs_jaccard_verify_sql("spark")
 _DOCS_JACCARD_VERIFY_DUCK = _docs_jaccard_verify_sql("duck")
 
+def _md5_int(dialect: str, expr: str, nhex: int = 12) -> str:
+    """First `nhex` hex digits of md5(expr) as a BIGINT (nhex <= 15 so
+    it always fits signed 64-bit).  Spark decodes with conv(); the
+    DuckDB oracle re-derives the same integer by digit expansion — the
+    minhash family's dual-derivation pattern."""
+    if dialect == "spark":
+        return (f"CAST(conv(substr(md5({expr}), 1, {nhex}), 16, 10)"
+                " AS BIGINT)")
+    digits = " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr(md5({expr}),"
+        f" {i + 1}, 1)) AS BIGINT) - 1) * CAST({16 ** (nhex - 1 - i)}"
+        " AS BIGINT)"
+        for i in range(nhex)
+    )
+    return f"({digits})"
+
+
+# ------- cross-document duplicated n-gram spans (substring dedup) -------
+#
+# The per-document signal behind exact substring deduplication (Lee et
+# al., "Deduplicating Training Data Makes Language Models Better", ACL
+# 2022): how many of a document's n-token windows also occur verbatim in
+# some OTHER document.  Pipelines drop or trim documents whose
+# dup_millis is high.
+#
+# Scale shape: windows are hashed to 48-bit ints BEFORE the shuffle, so
+# the heavy GROUP BY and the join back carry (doc_id, 8-byte hash), not
+# n-gram strings.  The two exchanges (gram-hash GROUP BY, gram-hash
+# join) land on the same key, and a hot boilerplate gram (the classic
+# skew case — a site footer repeated across half the crawl) is exactly
+# what AQE's skew-join splitting handles at runtime.
+_NGRAM_N = 5
+
+
+def _docs_ngram_dup_sql(dialect: str) -> str:
+    n = _NGRAM_N
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        grams = (f"explode(transform(sequence(1, size(ws) - {n - 1}),"
+                 f" i -> concat_ws(' ', slice(ws, i, {n}))))")
+        guard = f"size(ws) >= {n}"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        grams = (f"unnest(list_transform(range(1, len(ws) - {n - 2}),"
+                 f" i -> array_to_string(ws[i:i+{n - 1}], ' ')))")
+        guard = f"len(ws) >= {n}"
+    gh = _md5_int(dialect, "g")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+eligible AS (SELECT doc_id, ws FROM toks WHERE {guard}),
+gstr AS (SELECT doc_id, {grams} AS g FROM eligible),
+grams AS (SELECT doc_id, {gh} AS gh FROM gstr),
+gcount AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gh),
+perdoc AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+  FROM grams g JOIN gcount c ON g.gh = c.gh
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       CAST(FLOOR(1000.0 * n_dup_windows / n_windows) AS BIGINT)
+           AS dup_millis
+FROM perdoc ORDER BY doc_id
+"""
+
+
+# --------- corpus unigram-LM quality score (CCNet-style proxy) ---------
+#
+# CCNet/Gopher-style pipelines score documents with a language-model
+# perplexity and keep the low-perplexity tier.  The distributed skeleton
+# of that operation is this query: build the LM from the corpus itself
+# (here a unigram MLE — one GROUP BY), broadcast-ish join tokens to
+# their corpus frequencies, and aggregate per-document self-information.
+# Everything after log2 is integer arithmetic: each token's cost is
+# rounded to millibits FIRST (FLOOR(x + 0.5), exact-integer sums are
+# order-independent), so the per-doc totals hash identically on both
+# engines regardless of summation order.
+#
+# Scale shape: wcnt is vocabulary-sized (Zipf: tiny vs the corpus), so
+# Catalyst/AQE broadcasts it; the 1-row total is a broadcast nested
+# loop.  The only corpus-sized shuffle is the per-doc GROUP BY.
+def _docs_unigram_logprob_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        wtok = "SELECT doc_id, explode(ws) AS w FROM toks"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        wtok = "SELECT doc_id, unnest(ws) AS w FROM toks"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+wtoks AS ({wtok}),
+wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wtoks GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM wcnt),
+costs AS (
+  SELECT wtoks.doc_id,
+         CAST(FLOOR(-1000.0 * log2(1.0 * wcnt.c / tot.t) + 0.5)
+              AS BIGINT) AS millibits
+  FROM wtoks JOIN wcnt ON wtoks.w = wcnt.w CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(millibits) AS BIGINT) AS sum_millibits,
+       CAST(FLOOR(1.0 * SUM(millibits) / COUNT(*)) AS BIGINT)
+           AS avg_millibits
+FROM costs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------- deterministic HyperLogLog distinct sketch  -------------
+#
+# Spark's approx_count_distinct and DuckDB's approx_distinct are both
+# HLL++ but with engine-specific hashes, so their estimates can never
+# hash-match.  This is a from-scratch HLL (Flajolet et al. 2007) whose
+# register assignment is pinned to md5 — bit-identical on any engine:
+#   register index = first 2 md5 hex digits (m = 256 registers)
+#   rho           = leading zeros in the next 48 bits + 1, computed as
+#                   49 - length(bin(v)) — pure string/int ops, no
+#                   float log, so no cross-engine ulp risk
+# Registers are MAX-merged per group (the same merge an executor-side
+# partial aggregation performs at scale: each partition sketches
+# locally, the shuffle carries 256 bytes per group, never rows).
+# Z is kept as the exact integer SUM(2^(48 - rho)); the bias-corrected
+# estimate alpha_256 * m^2 * 2^48 / Z divides two identically-derived
+# doubles, so FLOOR() agrees across engines.  Exact distinct + signed
+# error ride along to exhibit the sketch's accuracy.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _docs_shingle_hll_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        grams = ("explode(transform(sequence(1, size(ws) - 2),"
+                 " i -> concat_ws(' ', slice(ws, i, 3))))")
+        guard = "size(ws) >= 3"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        grams = ("unnest(list_transform(range(1, len(ws) - 1),"
+                 " i -> array_to_string(ws[i:i+2], ' ')))")
+        guard = "len(ws) >= 3"
+    idx = _md5_int(dialect, "g", nhex=2)
+    v48 = (_md5_int(dialect, "g", nhex=14)
+           if dialect == "duck" else
+           "CAST(conv(substr(md5(g), 3, 12), 16, 10) AS BIGINT)")
+    if dialect == "duck":
+        # digit expansion already covers 14 hex; drop the top 2 (the
+        # register index) to leave the 48 rho bits
+        v48 = f"({v48} % CAST({16 ** 12} AS BIGINT))"
+    rho = f"CAST(49 - length(bin({v48})) AS BIGINT)"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {toks} AS ws FROM documents),
+eligible AS (SELECT doc_id, lang, ws FROM toks WHERE {guard}),
+gstr AS (SELECT lang, {grams} AS g FROM eligible),
+hashed AS (
+  SELECT lang, g, {idx} AS reg, {rho} AS rho FROM gstr
+),
+regs AS (
+  SELECT lang, reg, MAX(rho) AS r FROM hashed GROUP BY lang, reg
+),
+sketch AS (
+  SELECT lang,
+         CAST(SUM(CAST(POW(2, 48 - r) AS BIGINT)) AS BIGINT) AS z_hit,
+         CAST(COUNT(*) AS BIGINT) AS m_hit
+  FROM regs GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact
+  FROM gstr GROUP BY lang
+)
+SELECT s.lang,
+       CAST(FLOOR(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                  * CAST({2 ** 48} AS DOUBLE)
+                  / (s.z_hit + ({_HLL_M} - s.m_hit)
+                     * CAST({2 ** 48} AS BIGINT)))
+            AS BIGINT) AS hll_estimate,
+       e.n_exact,
+       CAST(FLOOR(1000.0 * (FLOOR(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                  * CAST({2 ** 48} AS DOUBLE)
+                  / (s.z_hit + ({_HLL_M} - s.m_hit)
+                     * CAST({2 ** 48} AS BIGINT))) - e.n_exact)
+                  / e.n_exact) AS BIGINT) AS err_millis
+FROM sketch s JOIN exact e ON s.lang = e.lang
+ORDER BY s.lang
+"""
+
+
 # ---- duplicate clusters: pairs -> connected components -> keep-list ----
 #
 # The end of the dedup story: LSH gives candidate pairs, exact Jaccard
@@ -2113,6 +2301,9 @@ QUERIES: dict = {
     "docs_near_dup_pairs": _sql(_DOCS_NEAR_DUP_PAIRS_SPARK),
     "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
     "docs_dup_clusters": _docs_dup_clusters,
+    "docs_ngram_dup": _sql(_docs_ngram_dup_sql("spark")),
+    "docs_unigram_logprob": _sql(_docs_unigram_logprob_sql("spark")),
+    "docs_shingle_hll": _sql(_docs_shingle_hll_sql("spark")),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2172,6 +2363,9 @@ ORACLES: dict = {
     "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
     "docs_dup_clusters": _docs_dup_clusters_oracle(),
+    "docs_ngram_dup": _docs_ngram_dup_sql("duck"),
+    "docs_unigram_logprob": _docs_unigram_logprob_sql("duck"),
+    "docs_shingle_hll": _docs_shingle_hll_sql("duck"),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),

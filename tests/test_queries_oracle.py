@@ -188,3 +188,34 @@ def test_docs_repetition_plan_is_jvm_only(spark):
     assert "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
     assert "Generate" not in plan  # no explode: per-doc arrays stay packed
+
+
+def test_ngram_dup_plan_hashes_before_shuffle(spark):
+    """The substring-dedup signal must shuffle 8-byte gram hashes, not
+    gram strings: every Exchange's partition key is the bigint hash (or
+    doc_id), never the string column; and no Python UDF anywhere."""
+    from crystal_html5_spark.sparkjob.queries import QUERIES
+
+    plan = QUERIES["docs_ngram_dup"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    # the gram string column g is produced by Generate and consumed by
+    # the very next projection (conv(md5(g))); it must not survive into
+    # any exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "g#" not in line.split("hashpartitioning")[1][:60]
+
+
+def test_new_doc_ops_plans_are_jvm_only(spark):
+    """unigram-LM scoring and the HLL sketch stay in JVM built-ins."""
+    from crystal_html5_spark.sparkjob.queries import QUERIES
+
+    for name in ("docs_unigram_logprob", "docs_shingle_hll"):
+        plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "PythonUDF" not in plan
