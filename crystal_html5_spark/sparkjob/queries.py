@@ -851,6 +851,84 @@ ORDER BY s.lang
 """
 
 
+# --------- line-level dedup fused with extraction (RefinedWeb) ---------
+#
+# RefinedWeb/CCNet-style line deduplication over EXTRACTED text: a line
+# that appears verbatim in >= 2 distinct urls is boilerplate ("Section
+# 5" headers, cookie banners, footers) and is removed; the per-url
+# output reports line counts and the sha256 of the text with duplicate
+# lines stripped, so a single kept/dropped line anywhere flips the hash.
+#
+# Scale shape: line identity shuffles as a 48-bit md5 int, not the line
+# string (same rationale as docs_ngram_dup); the count and the join
+# back share the hash key; the per-url reassembly groups on url — the
+# extraction job's own partitioning key, so at cluster scale the
+# reassembly can reuse the extract shuffle's layout.  The Spark side
+# runs extraction -> explode -> dedup in ONE plan; the DuckDB oracle
+# re-derives the entire line computation in SQL from frozen per-line
+# input (produced by the golden-verified in-process engine — inputs,
+# not answers).
+_LINE_DUP_URLS = 2
+
+
+def _line_dedup_sql(dialect: str, lines_src: str) -> str:
+    lh = _md5_int(dialect, "line")
+    if dialect == "spark":
+        kept = ("array_join(transform(array_sort(collect_list("
+                f"CASE WHEN nu < {_LINE_DUP_URLS} THEN"
+                " struct(line_no, line) END)), x -> x.line), char(10))")
+        sha = "sha2(kept_text, 256)"
+    else:
+        kept = ("coalesce(string_agg(CASE WHEN nu <"
+                f" {_LINE_DUP_URLS} THEN line END, chr(10)"
+                " ORDER BY line_no), '')")
+        sha = "sha256(kept_text)"
+    return f"""
+WITH lines AS ({lines_src}),
+nonempty AS (SELECT url, line_no, line FROM lines WHERE trim(line) <> ''),
+keyed AS (SELECT url, line_no, line, {lh} AS lhash FROM nonempty),
+lcount AS (
+  SELECT lhash, COUNT(DISTINCT url) AS nu FROM keyed GROUP BY lhash
+),
+marked AS (
+  SELECT k.url, k.line_no, k.line, c.nu
+  FROM keyed k JOIN lcount c ON k.lhash = c.lhash
+),
+perurl AS (
+  SELECT url,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN nu >= {_LINE_DUP_URLS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_lines,
+         {kept} AS kept_text
+  FROM marked GROUP BY url
+)
+SELECT url, n_lines, n_dup_lines,
+       CAST(FLOOR(1000.0 * n_dup_lines / n_lines) AS BIGINT) AS dup_millis,
+       {sha} AS kept_sha256
+FROM perurl ORDER BY url
+"""
+
+
+def _extract_line_dedup(spark, sf_dir: str) -> DataFrame:
+    """Extraction -> line explode -> cross-url line dedup in one Spark
+    plan over the fixed 500-page fixture (frozen-lines oracle)."""
+    out = run_extract(spark, _pages_fixed(spark))
+    out.select("url", "main_text").createOrReplaceTempView("extracted_main")
+    lines_src = (
+        "SELECT url, pos AS line_no, l AS line FROM extracted_main"
+        " LATERAL VIEW posexplode(split(main_text, '\\n')) t AS pos, l"
+    )
+    return spark.sql(_line_dedup_sql("spark", lines_src))
+
+
+def _extract_line_dedup_oracle() -> str:
+    lines_src = (
+        "SELECT url, line_no, line FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_lines_{_FIXED_PAGES_N}.parquet'}')"
+    )
+    return _line_dedup_sql("duck", lines_src)
+
+
 # ---- duplicate clusters: pairs -> connected components -> keep-list ----
 #
 # The end of the dedup story: LSH gives candidate pairs, exact Jaccard
@@ -2304,6 +2382,7 @@ QUERIES: dict = {
     "docs_ngram_dup": _sql(_docs_ngram_dup_sql("spark")),
     "docs_unigram_logprob": _sql(_docs_unigram_logprob_sql("spark")),
     "docs_shingle_hll": _sql(_docs_shingle_hll_sql("spark")),
+    "extract_line_dedup": _extract_line_dedup,
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2366,6 +2445,7 @@ ORACLES: dict = {
     "docs_ngram_dup": _docs_ngram_dup_sql("duck"),
     "docs_unigram_logprob": _docs_unigram_logprob_sql("duck"),
     "docs_shingle_hll": _docs_shingle_hll_sql("duck"),
+    "extract_line_dedup": _extract_line_dedup_oracle(),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),

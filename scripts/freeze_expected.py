@@ -145,6 +145,27 @@ def near_dup_rows(rows: list[tuple]) -> list[tuple]:
                   for f, us in groups.items() if len(us) > 1)
 
 
+def extract_lines_rows(rows: list[tuple]) -> list[tuple]:
+    """Latest-capture dedup + extract, EXPLODED to (url, line_no, line)
+    — every '\n'-split line of main_text including empty ones.  This is
+    the raw material for the extract_line_dedup oracle: DuckDB re-runs
+    the whole line-dedup computation in SQL over these frozen lines, so
+    the frozen artifact holds inputs, not answers."""
+    from crystal_html5_spark.html5x.extract import extract_document
+
+    latest: dict = {}
+    for url, ts, html, _text, _lang in rows:
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html)
+    out = []
+    for url in sorted(latest):
+        _ts, html = latest[url]
+        mt = extract_document(html or b"")["main_text"]
+        for i, line in enumerate(mt.split("\n")):
+            out.append((url, i, line))
+    return out
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -208,6 +229,14 @@ def main() -> None:
         "err": pa.array([r[4] for r in ext], pa.string()),
     })
     pq.write_table(et, OUT_DIR / f"extract_pages_{N_PAGES}.parquet")
+
+    li = extract_lines_rows(rows)
+    lit = pa.table({
+        "url": pa.array([r[0] for r in li], pa.string()),
+        "line_no": pa.array([r[1] for r in li], pa.int32()),
+        "line": pa.array([r[2] for r in li], pa.string()),
+    })
+    pq.write_table(lit, OUT_DIR / f"extract_lines_{N_PAGES}.parquet")
 
     ls = lang_stats_rows(rows)
     lst = pa.table({
