@@ -179,3 +179,80 @@ def extract_document(html: bytes, max_doc_bytes: int = 0) -> dict:
             ),
             "parse_ms": (time.perf_counter() - t0) * 1000.0,
         }
+
+
+# ---- block-level DOM classification features (jusText/Boilerpipe) ----
+#
+# The raw features behind link-density boilerplate classification
+# (Kohlschuetter et al., "Boilerplate Detection using Shallow Text
+# Features", WSDM 2010; Pomikalek's jusText): segment the DOM into
+# block-level elements, attribute every rendered text character to its
+# NEAREST block ancestor, and measure how much of each block's text sits
+# inside <a>.  The classification itself (content iff long enough and
+# link-sparse) is integer arithmetic and lives in SQL on both engines —
+# this walker only produces the per-block feature rows.
+
+BLOCK_TAGS = frozenset((
+    "p", "div", "li", "td", "th", "section", "article", "main", "aside",
+    "header", "footer", "nav", "h1", "h2", "h3", "h4", "h5", "h6",
+    "blockquote", "pre", "ul", "ol", "table", "body",
+))
+
+# Text that never renders: excluded from attribution entirely (jusText
+# removes these subtrees before segmentation).  Deliberately narrower
+# than BOILERPLATE_TAGS — nav/header/footer text DOES reach the
+# classifier, which is the point: link density must flag it, not a
+# tag blacklist.
+_NONRENDERED_TAGS = frozenset((
+    "script", "style", "template", "noscript", "iframe",
+))
+
+
+def block_features(doc: Node) -> list:
+    """(block_no, tag, text_len, link_len) per block element, document
+    order.  block_no numbers every block element encountered (text or
+    not); text outside any block (e.g. a bare <span> under <html>)
+    attributes to block_no -1 with tag '(none)'."""
+    blocks: list = []  # [block_no, tag, text_len, link_len]
+    # stack entries: (node, block_idx, in_link)
+    stack: list = [(doc, -1, False)]
+    pop = stack.pop
+    push = stack.append
+    none_row = None
+    while stack:
+        n, bi, in_link = pop()
+        sib = n.next_sibling
+        if sib is not None and n is not doc:
+            push((sib, bi, in_link))
+        t = n.type
+        if t == TEXT_NODE:
+            ln = len(n.data)
+            if ln:
+                if bi == -1:
+                    if none_row is None:
+                        none_row = [-1, "(none)", 0, 0]
+                    none_row[2] += ln
+                    if in_link:
+                        none_row[3] += ln
+                else:
+                    blocks[bi][2] += ln
+                    if in_link:
+                        blocks[bi][3] += ln
+            continue
+        if t == COMMENT_NODE:
+            continue
+        if n.namespace == "":
+            if n.data in _NONRENDERED_TAGS:
+                continue
+            if n.data in BLOCK_TAGS:
+                bi = len(blocks)
+                blocks.append([bi, n.data, 0, 0])
+            elif n.data == "a":
+                in_link = True
+        c = n.first_child
+        if c is not None:
+            push((c, bi, in_link))
+    out = [tuple(b) for b in blocks]
+    if none_row is not None:
+        out.append(tuple(none_row))
+    return out

@@ -929,6 +929,103 @@ def _extract_line_dedup_oracle() -> str:
     return _line_dedup_sql("duck", lines_src)
 
 
+# ------ block-level DOM classification (jusText / Boilerpipe) ------
+#
+# Shallow-text-feature boilerplate detection (Kohlschuetter et al. WSDM
+# 2010, Pomikalek's jusText): the DOM is segmented into block-level
+# elements, every rendered character attributes to its nearest block
+# ancestor, and a block is content iff it is long enough AND link-sparse
+# (link_len * 3 < text_len — integer arithmetic, no float threshold).
+# This classifies nav/header/footer by MEASURED link density rather than
+# a tag blacklist — the DOM-heuristic complement to the selector-driven
+# strip in extract_job.
+#
+# The Spark side parses pages and emits per-block feature rows from the
+# same Arrow UDF pattern as extraction; classification + per-url
+# aggregation are plain ANSI SQL shared VERBATIM by both engines.  The
+# oracle classifies frozen per-block features produced by the in-process
+# engine (inputs, not answers — scripts/freeze_expected.py).
+_CONTENT_BLOCKS_CLASSIFY = """
+WITH blocks AS ({src}),
+textual AS (
+  SELECT url, block_no, tag, text_len, link_len
+  FROM blocks WHERE text_len > 0
+),
+classified AS (
+  SELECT url, text_len,
+         CASE WHEN text_len >= 25 AND link_len * 3 < text_len
+              THEN 1 ELSE 0 END AS is_content
+  FROM textual
+)
+SELECT url,
+       CAST(COUNT(*) AS BIGINT) AS n_text_blocks,
+       CAST(SUM(is_content) AS BIGINT) AS n_content_blocks,
+       CAST(SUM(CASE WHEN is_content = 1 THEN text_len ELSE 0 END)
+            AS BIGINT) AS content_chars,
+       CAST(SUM(CASE WHEN is_content = 0 THEN text_len ELSE 0 END)
+            AS BIGINT) AS boiler_chars,
+       CAST(FLOOR(1000.0 * SUM(CASE WHEN is_content = 1 THEN text_len
+                                    ELSE 0 END) / SUM(text_len))
+            AS BIGINT) AS content_millis
+FROM classified GROUP BY url ORDER BY url
+"""
+
+
+def _extract_content_blocks(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    latest = (
+        pages.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1").select("url", "html")
+    )
+
+    def feats(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.extract import block_features
+        from crystal_html5_spark.html5x.parser import parse
+
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            u, bno, tag, tl, ll = [], [], [], [], []
+            for url, h in zip(urls, htmls):
+                try:
+                    rows = block_features(parse(h or b""))
+                except Exception:  # noqa: BLE001 — bad page -> no blocks
+                    rows = []
+                for b, t, a, c in rows:
+                    u.append(url)
+                    bno.append(b)
+                    tag.append(t)
+                    tl.append(a)
+                    ll.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(u, pa.string()), pa.array(bno, pa.int32()),
+                 pa.array(tag, pa.string()), pa.array(tl, pa.int64()),
+                 pa.array(ll, pa.int64())],
+                names=["url", "block_no", "tag", "text_len", "link_len"],
+            )
+
+    bdf = latest.mapInArrow(
+        feats,
+        "url string, block_no int, tag string,"
+        " text_len long, link_len long",
+    )
+    bdf.createOrReplaceTempView("extract_block_feats")
+    return spark.sql(_CONTENT_BLOCKS_CLASSIFY.format(
+        src="SELECT * FROM extract_block_feats"))
+
+
+def _extract_content_blocks_oracle() -> str:
+    return _CONTENT_BLOCKS_CLASSIFY.format(
+        src="SELECT * FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_blocks_{_FIXED_PAGES_N}.parquet'}')"
+    )
+
+
 # ---- duplicate clusters: pairs -> connected components -> keep-list ----
 #
 # The end of the dedup story: LSH gives candidate pairs, exact Jaccard
@@ -2383,6 +2480,7 @@ QUERIES: dict = {
     "docs_unigram_logprob": _sql(_docs_unigram_logprob_sql("spark")),
     "docs_shingle_hll": _sql(_docs_shingle_hll_sql("spark")),
     "extract_line_dedup": _extract_line_dedup,
+    "extract_content_blocks": _extract_content_blocks,
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2446,6 +2544,7 @@ ORACLES: dict = {
     "docs_unigram_logprob": _docs_unigram_logprob_sql("duck"),
     "docs_shingle_hll": _docs_shingle_hll_sql("duck"),
     "extract_line_dedup": _extract_line_dedup_oracle(),
+    "extract_content_blocks": _extract_content_blocks_oracle(),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),

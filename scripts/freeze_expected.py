@@ -166,6 +166,29 @@ def extract_lines_rows(rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def block_feature_rows(rows: list[tuple]) -> list[tuple]:
+    """Latest-capture dedup + parse + block_features, exploded to
+    (url, block_no, tag, text_len, link_len) — the raw inputs the
+    extract_content_blocks oracle classifies and aggregates in SQL."""
+    from crystal_html5_spark.html5x.extract import block_features
+    from crystal_html5_spark.html5x.parser import parse
+
+    latest: dict = {}
+    for url, ts, html, _text, _lang in rows:
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html)
+    out = []
+    for url in sorted(latest):
+        _ts, html = latest[url]
+        try:
+            feats = block_features(parse(html or b""))
+        except Exception:  # noqa: BLE001 — malformed page -> no blocks
+            feats = []
+        for bno, tag, tl, ll in feats:
+            out.append((url, bno, tag, tl, ll))
+    return out
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -237,6 +260,16 @@ def main() -> None:
         "line": pa.array([r[2] for r in li], pa.string()),
     })
     pq.write_table(lit, OUT_DIR / f"extract_lines_{N_PAGES}.parquet")
+
+    bf = block_feature_rows(rows)
+    bft = pa.table({
+        "url": pa.array([r[0] for r in bf], pa.string()),
+        "block_no": pa.array([r[1] for r in bf], pa.int32()),
+        "tag": pa.array([r[2] for r in bf], pa.string()),
+        "text_len": pa.array([r[3] for r in bf], pa.int64()),
+        "link_len": pa.array([r[4] for r in bf], pa.int64()),
+    })
+    pq.write_table(bft, OUT_DIR / f"extract_blocks_{N_PAGES}.parquet")
 
     ls = lang_stats_rows(rows)
     lst = pa.table({
