@@ -929,6 +929,118 @@ def _extract_line_dedup_oracle() -> str:
     return _line_dedup_sql("duck", lines_src)
 
 
+# ----------------- weekly cohort retention (events) -----------------
+#
+# The classic product-analytics rollup: users cohorted by the ISO week
+# of their first event; each (cohort_week, week_offset) cell counts
+# users from that cohort active in that later week.  DISTINCT per
+# (user, week) first, so the heavy input collapses to at most
+# users x weeks rows before the join; both the dedup and the join
+# shuffle on user_id.  Offsets are exact integer seconds arithmetic on
+# week-truncated timestamps (host/session tz is UTC; both engines
+# truncate to ISO Monday).
+def _events_retention_sql(dialect: str) -> str:
+    epoch = "unix_timestamp" if dialect == "spark" else "epoch"
+    return f"""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+),
+joined AS (
+  SELECT f.cohort_week,
+         CAST(({epoch}(a.act_week) - {epoch}(f.cohort_week)) / 604800
+              AS BIGINT) AS week_offset
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM joined GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+# ------------------- TF-IDF top-k terms per doc -------------------
+#
+# Keyword extraction with the standard tf x ln(N/df) weighting, kept
+# hash-stable by quantizing idf to integer millinats per TERM (FLOOR +
+# 0.5 on one double op) and scoring as tf_count * idf_milli — pure
+# integer ranking after that, ROW_NUMBER tie-broken by term.  The df
+# table is vocabulary-sized (broadcastable); the per-doc window
+# partitions on doc_id, the same key as the tf GROUP BY, so AQE reuses
+# the exchange.
+def _docs_tfidf_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        wtok = "SELECT doc_id, explode(ws) AS w FROM toks"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        wtok = "SELECT doc_id, unnest(ws) AS w FROM toks"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+wtoks AS ({wtok}),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tfc
+  FROM wtoks GROUP BY doc_id, w
+),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+idf AS (
+  SELECT w, CAST(FLOOR(1000.0 * ln(1.0 * nd / dfc) + 0.5) AS BIGINT)
+         AS idf_milli
+  FROM df CROSS JOIN n
+),
+scored AS (
+  SELECT tf.doc_id, tf.w, CAST(tf.tfc * idf.idf_milli AS BIGINT) AS score
+  FROM tf JOIN idf ON tf.w = idf.w
+),
+ranked AS (
+  SELECT doc_id, w, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, w) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, w AS term, score
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+# ------------------- per-host skew diagnosis (urls) -------------------
+#
+# The report you run BEFORE picking salting factors: pages per url-host,
+# each heavy hitter's corpus share and its multiple of the uniform
+# share.  Host assignment reuses url_normalize's synthetic generator
+# with a deliberate hot host (every third doc lands on host0 — the
+# "half the crawl is one domain" case the north rule's salted
+# repartition exists for).  Top-k via ORDER BY/LIMIT plans as
+# TakeOrderedAndProject over the host-sized aggregate: the full corpus
+# never sorts.
+_URL_HOST_SKEW = """
+WITH hosts AS (
+  SELECT doc_id,
+         'host' || (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 97 END)
+         || '.example' AS host
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM hosts GROUP BY host
+),
+tot AS (
+  SELECT CAST(SUM(n_pages) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n_hosts
+  FROM agg
+)
+SELECT host, n_pages,
+       CAST(FLOOR(1000.0 * n_pages / t) AS BIGINT) AS share_millis,
+       CAST(FLOOR(1000.0 * n_pages * n_hosts / t) AS BIGINT)
+           AS x_uniform_millis
+FROM agg CROSS JOIN tot
+ORDER BY n_pages DESC, host LIMIT 10
+"""
+
+
 # ------ block-level DOM classification (jusText / Boilerpipe) ------
 #
 # Shallow-text-feature boilerplate detection (Kohlschuetter et al. WSDM
@@ -2481,6 +2593,9 @@ QUERIES: dict = {
     "docs_shingle_hll": _sql(_docs_shingle_hll_sql("spark")),
     "extract_line_dedup": _extract_line_dedup,
     "extract_content_blocks": _extract_content_blocks,
+    "events_retention": _sql(_events_retention_sql("spark")),
+    "docs_tfidf_topk": _sql(_docs_tfidf_sql("spark")),
+    "url_host_skew": _sql(_URL_HOST_SKEW),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2545,6 +2660,9 @@ ORACLES: dict = {
     "docs_shingle_hll": _docs_shingle_hll_sql("duck"),
     "extract_line_dedup": _extract_line_dedup_oracle(),
     "extract_content_blocks": _extract_content_blocks_oracle(),
+    "events_retention": _events_retention_sql("duck"),
+    "docs_tfidf_topk": _docs_tfidf_sql("duck"),
+    "url_host_skew": _URL_HOST_SKEW,
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
