@@ -1041,6 +1041,105 @@ ORDER BY n_pages DESC, host LIMIT 10
 """
 
 
+# --------------- integer PageRank over the link graph ---------------
+#
+# Web-graph centrality with every float removed: ranks live in
+# micro-units (1e6 per node), each node's contribution is rank DIV
+# outdeg (integer floor division), and damping is (85 * sum) DIV 100 —
+# so iteration t is a pure function of integers and the result
+# hash-matches across engines with no quantization boundary to worry
+# about.  The graph is generated deterministically from doc_id in SQL
+# (1 + id%3 outlinks to (id*7 + 13k) mod N, self-loops bumped), shared
+# verbatim by both engines.
+#
+# The Spark side runs the REAL distributed shape: an iterative loop of
+# edge-join + groupBy(dst) + left-join back to nodes, localCheckpoint
+# per iteration (same lineage-truncation lesson as cc.py — an
+# un-truncated 8-iteration plan nests 24 joins).  The DuckDB oracle
+# unrolls the same recurrence as 8 chained CTEs — the IVF k-means
+# unrolling pattern.
+_PR_ITERS = 8
+_PR_UNIT = 1_000_000
+_PR_BASE = 150_000  # (1 - 0.85) * unit
+
+
+def _pr_graph_sql(dialect: str) -> str:
+    vals = ("FROM VALUES (1), (2), (3) AS t(k)" if dialect == "spark"
+            else "FROM (VALUES (1), (2), (3)) t(k)")
+    return f"""
+nodes AS (SELECT doc_id AS v FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+ks AS (SELECT CAST(k AS BIGINT) AS k {vals}),
+edges0 AS (
+  SELECT v AS src, (v * 7 + k * 13) % n AS dst0, n
+  FROM nodes CROSS JOIN nn CROSS JOIN ks
+  WHERE k <= 1 + v % 3
+),
+edges AS (
+  SELECT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM edges0
+),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+           FROM edges GROUP BY src)"""
+
+
+def _pagerank_iter_sql(prev: str, cur: str, idiv: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT n.v,
+         CAST({_PR_BASE} + (85 * COALESCE(s.c, 0)) {idiv} 100
+              AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS v, CAST(SUM(pr.r {idiv} o.od) AS BIGINT) AS c
+    FROM edges e JOIN {prev} pr ON e.src = pr.v
+                 JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) s ON n.v = s.v
+)"""
+
+
+def _docs_pagerank_oracle() -> str:
+    idiv = "//"
+    ctes = [_pr_graph_sql("duck"),
+            f"r0 AS (SELECT v, CAST({_PR_UNIT} AS BIGINT) AS r FROM nodes)"]
+    for t in range(1, _PR_ITERS + 1):
+        ctes.append(_pagerank_iter_sql(f"r{t - 1}", f"r{t}", idiv).strip())
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS doc_id, r AS rank_micros FROM r{_PR_ITERS}"
+            " ORDER BY doc_id")
+
+
+def _docs_pagerank(spark, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    base = spark.sql(
+        "WITH " + _pr_graph_sql("spark")
+        + " SELECT src, dst, od FROM edges JOIN outdeg USING (src)")
+    edges = base.localCheckpoint(eager=True)
+    nodes = spark.sql(
+        "WITH " + _pr_graph_sql("spark") + " SELECT v FROM nodes"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("v", F.lit(_PR_UNIT).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .select("dst", F.expr("r DIV od").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left")
+            .select(
+                "v",
+                (F.lit(_PR_BASE)
+                 + F.expr("(85 * coalesce(c, 0L)) DIV 100"))
+                .cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias("doc_id"),
+                        F.col("r").alias("rank_micros")).orderBy("doc_id")
+
+
 # ------ block-level DOM classification (jusText / Boilerpipe) ------
 #
 # Shallow-text-feature boilerplate detection (Kohlschuetter et al. WSDM
@@ -2596,6 +2695,7 @@ QUERIES: dict = {
     "events_retention": _sql(_events_retention_sql("spark")),
     "docs_tfidf_topk": _sql(_docs_tfidf_sql("spark")),
     "url_host_skew": _sql(_URL_HOST_SKEW),
+    "docs_pagerank": _docs_pagerank,
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2663,6 +2763,7 @@ ORACLES: dict = {
     "events_retention": _events_retention_sql("duck"),
     "docs_tfidf_topk": _docs_tfidf_sql("duck"),
     "url_host_skew": _URL_HOST_SKEW,
+    "docs_pagerank": _docs_pagerank_oracle(),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
