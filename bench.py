@@ -206,6 +206,8 @@ def main() -> None:
           lambda: Q.QUERIES["ann_lsh_topk"](spark, sf_dir).collect())
     timed("docs_winnow_fp",
           lambda: Q.QUERIES["docs_winnow_fp"](spark, sf_dir).count())
+    timed("docs_ngram_dup",
+          lambda: Q.QUERIES["docs_ngram_dup"](spark, sf_dir).count())
     timed("latest_event_per_user",
           lambda: Q.QUERIES["latest_event_per_user"](spark, sf_dir).count())
     timed("page_xpath_stats",

@@ -1041,6 +1041,172 @@ ORDER BY n_pages DESC, host LIMIT 10
 """
 
 
+# ------------- product quantization (PQ) over embeddings -------------
+#
+# The canonical ANN compression (Jegou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011): split each vector into M
+# subvectors, learn a small codebook per subspace, store only the M
+# code ids — here 64 dims -> 4 subspaces x 16 dims, k=16 codes each, so
+# a vector compresses to 4 bytes (64x vs float32) and asymmetric
+# distance needs only 4 table lookups.
+#
+# Everything is exact integer arithmetic on the same FLOOR-quantized
+# int dims the IVF family uses: farthest-first init (batched k-means||
+# rounds, ties by vec_id), two Lloyd iterations with floored-mean
+# centroid rebuild, and integer-L2 code assignment — so Spark and
+# DuckDB agree bit-for-bit with no float boundary anywhere.  Output:
+# per-vector codes + exact reconstruction error.
+#
+# Scale shape: codebooks are k x M tiny (256 rows here) — broadcast;
+# assignment is a map-side cross join against 16 centroids per
+# subspace; the only corpus-wide exchanges are the Lloyd GROUP BYs.
+_PQ_M = 4
+_PQ_K = 16
+_PQ_LLOYD = 2
+
+
+def _emb_pq_sql(dialect: str, dims: int = 64) -> str:
+    sub = dims // _PQ_M
+    if dialect == "spark":
+        vq = ("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+              f" * {_IVF_QUANT}) AS BIGINT))")
+
+        def sl(m: int) -> str:
+            return f"slice(vq, {m * sub + 1}, {sub})"
+
+        def dist(a: str, b: str) -> str:
+            return (f"aggregate(zip_with({a}, {b},"
+                    " (u, v) -> (u - v) * (u - v)),"
+                    " CAST(0 AS BIGINT), (acc, u) -> acc + u)")
+
+        def explode_dims(src: str) -> str:
+            return (f"SELECT vec_id, cid, d, v FROM {src}"
+                    " LATERAL VIEW posexplode(sq) t AS d, v")
+
+        rebuild = ("transform(array_sort(collect_list(struct(d, cv))),"
+                   " s -> s.cv)")
+        hint = "/*+ BROADCAST(c) */ "
+        seed_wrap = "array(sq)"
+        batch_append = (
+            "concat(any_value(cents),"
+            " transform(array_sort(collect_list(struct(nmd, vec_id, sq))),"
+            " x -> x.sq))")
+
+        def cents_explode(src: str) -> str:
+            return (f"SELECT cid, cemb FROM {src}"
+                    " LATERAL VIEW posexplode(cents) t AS cid, cemb")
+    else:
+        vq = ("list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+              f" * {_IVF_QUANT}) AS BIGINT))")
+
+        def sl(m: int) -> str:
+            return f"vq[{m * sub + 1}:{m * sub + sub}]"
+
+        def dist(a: str, b: str) -> str:
+            return (f"CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+                    f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+                    " AS BIGINT)")
+
+        def explode_dims(src: str) -> str:
+            return ("SELECT vec_id, cid,"
+                    " unnest(range(1, len(sq) + 1)) AS d,"
+                    " unnest(sq) AS v"
+                    f" FROM {src}")
+
+        rebuild = "list(cv ORDER BY d)"
+        hint = ""
+        seed_wrap = "[sq]"
+        batch_append = ("list_concat(any_value(cents),"
+                        " list(sq ORDER BY nmd, vec_id))")
+
+        def cents_explode(src: str) -> str:
+            return (f"SELECT unnest(range(len(cents))) AS cid,"
+                    f" unnest(cents) AS cemb FROM {src}")
+
+    mindist = "{amin}({tmap}(s.cents, c -> {d}))".format(
+        amin="array_min" if dialect == "spark" else "list_min",
+        tmap="transform" if dialect == "spark" else "list_transform",
+        d=dist("v.sq", "c"),
+    )
+
+    ctes = [f"vecs AS (SELECT vec_id, {vq} AS vq FROM embeddings)"]
+    finals = []
+    rounds = 4
+    base, rem = divmod(_PQ_K - 1, rounds)
+    for m in range(_PQ_M):
+        p = f"s{m}"
+        ctes.append(
+            f"svec{p} AS (SELECT vec_id, {sl(m)} AS sq FROM vecs)")
+        ctes.append(
+            f"st{p}_0 AS (SELECT {seed_wrap} AS cents FROM svec{p}"
+            " WHERE vec_id = 0)")
+        for i in range(1, rounds + 1):
+            take = base + (1 if i <= rem else 0)
+            ctes.append(f"""st{p}_{i} AS (
+  SELECT {batch_append} AS cents
+  FROM (
+    SELECT s.cents AS cents, v.vec_id AS vec_id, v.sq AS sq,
+           -({mindist}) AS nmd
+    FROM st{p}_{i - 1} s CROSS JOIN svec{p} v
+    ORDER BY nmd ASC, v.vec_id LIMIT {take}
+  ) t
+)""")
+        ctes.append(f"cent{p}_0 AS ({cents_explode(f'st{p}_{rounds}')})")
+        for it in range(1, _PQ_LLOYD + 1):
+            prev = f"cent{p}_{it - 1}"
+            ctes.append(f"""scored{p}_{it} AS (
+  SELECT {hint}v.vec_id, c.cid, {dist('v.sq', 'c.cemb')} AS dd
+  FROM svec{p} v CROSS JOIN {prev} c
+)""")
+            ctes.append(f"""assign{p}_{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dd ASC, cid) AS rn
+    FROM scored{p}_{it}) t
+  WHERE rn = 1
+)""")
+            ctes.append(f"""dims{p}_{it} AS (
+  {explode_dims(f'(SELECT a.cid, v.vec_id, v.sq FROM assign{p}_{it} a'
+                f' JOIN svec{p} v ON v.vec_id = a.vec_id) m{p}_{it}')}
+)""")
+            ctes.append(f"""avg{p}_{it} AS (
+  SELECT cid, d,
+         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM dims{p}_{it} GROUP BY cid, d
+)""")
+            ctes.append(f"""cent{p}_{it} AS (
+  SELECT cid, {rebuild} AS cemb FROM avg{p}_{it} GROUP BY cid
+)""")
+        last = f"cent{p}_{_PQ_LLOYD}"
+        ctes.append(f"""psc{p} AS (
+  SELECT {hint}v.vec_id, c.cid, {dist('v.sq', 'c.cemb')} AS dd
+  FROM svec{p} v CROSS JOIN {last} c
+)""")
+        ctes.append(f"""pbest{p} AS (
+  SELECT vec_id, cid, dd FROM (
+    SELECT vec_id, cid, dd,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dd ASC, cid) AS rn
+    FROM psc{p}) t
+  WHERE rn = 1
+)""")
+        finals.append(f"pbest{p}")
+    joins = finals[0] + " b0"
+    for i in range(1, _PQ_M):
+        joins += (f" JOIN {finals[i]} b{i}"
+                  f" ON b0.vec_id = b{i}.vec_id")
+    codes = ", ".join(
+        f"CAST(b{i}.cid AS INT) AS code{i}" for i in range(_PQ_M))
+    err = " + ".join(f"b{i}.dd" for i in range(_PQ_M))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT b0.vec_id AS vec_id, {codes},
+       CAST({err} AS BIGINT) AS recon_err
+FROM {joins}
+ORDER BY vec_id
+""")
+
+
 # --------------- integer PageRank over the link graph ---------------
 #
 # Web-graph centrality with every float removed: ranks live in
@@ -2696,6 +2862,7 @@ QUERIES: dict = {
     "docs_tfidf_topk": _sql(_docs_tfidf_sql("spark")),
     "url_host_skew": _sql(_URL_HOST_SKEW),
     "docs_pagerank": _docs_pagerank,
+    "emb_pq": _sql(_emb_pq_sql("spark")),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2764,6 +2931,7 @@ ORACLES: dict = {
     "docs_tfidf_topk": _docs_tfidf_sql("duck"),
     "url_host_skew": _URL_HOST_SKEW,
     "docs_pagerank": _docs_pagerank_oracle(),
+    "emb_pq": _emb_pq_sql("duck"),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
