@@ -219,3 +219,25 @@ def test_new_doc_ops_plans_are_jvm_only(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "PythonUDF" not in plan
+
+
+def test_ann_pq_recall_vs_exact_l2(spark):
+    """The PQ shortlist + exact-rerank must stay a good index: >= 8 of
+    the exact integer-L2 top-10 must survive the 4-byte-code ADC
+    shortlist at this sf (measured 10/10; slack for fixture drift)."""
+    from crystal_html5_spark.sparkjob.queries import load_views
+
+    load_views(spark, SF_DIR)
+    exact = {r["vec_id"] for r in spark.sql("""
+WITH vecs AS (SELECT vec_id, transform(embedding,
+  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS vq
+  FROM embeddings),
+q AS (SELECT vq AS qv FROM vecs WHERE vec_id = 0)
+SELECT v.vec_id FROM vecs v CROSS JOIN q WHERE v.vec_id <> 0
+ORDER BY aggregate(zip_with(v.vq, q.qv, (u, w) -> (u - w) * (u - w)),
+                   CAST(0 AS BIGINT), (acc, u) -> acc + u) ASC, v.vec_id
+LIMIT 10""").collect()}
+    pq = {r["vec_id"]
+          for r in entrymod.queries()["ann_pq_topk"](spark, SF_DIR)
+          .collect()}
+    assert len(exact & pq) >= 8
