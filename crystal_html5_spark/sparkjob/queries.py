@@ -1041,6 +1041,27 @@ ORDER BY n_pages DESC, host LIMIT 10
 """
 
 
+# --------------------- corpus card (GROUPING SETS) ---------------------
+#
+# The dataset-datasheet rollup every released training corpus ships
+# with: per-language rows plus a grand-total row in ONE pass via
+# GROUPING SETS (Spark and DuckDB plan the super-aggregate without a
+# second scan).  'total' sentinel keys the overall row so the output
+# stays NULL-free and hash-stable.
+_DOCS_CORPUS_CARD = """
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'total' ELSE lang END AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(FLOOR(1.0 * SUM(n_chars) / COUNT(*)) AS BIGINT) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), ())
+ORDER BY lang
+"""
+
+
 # ------------- product quantization (PQ) over embeddings -------------
 #
 # The canonical ANN compression (Jegou et al., "Product Quantization
@@ -2904,6 +2925,7 @@ QUERIES: dict = {
     "docs_pagerank": _docs_pagerank,
     "emb_pq": _sql(_emb_pq_sql("spark")),
     "ann_pq_topk": _sql(_emb_pq_sql("spark", topk=10)),
+    "docs_corpus_card": _sql(_DOCS_CORPUS_CARD),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2974,6 +2996,7 @@ ORACLES: dict = {
     "docs_pagerank": _docs_pagerank_oracle(),
     "emb_pq": _emb_pq_sql("duck"),
     "ann_pq_topk": _emb_pq_sql("duck", topk=10),
+    "docs_corpus_card": _DOCS_CORPUS_CARD,
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
