@@ -1041,6 +1041,129 @@ ORDER BY n_pages DESC, host LIMIT 10
 """
 
 
+# ----------------- robots.txt crawl gate (RFC 9309) -----------------
+#
+# Crawl-politeness verdict per url: every host serves a deterministic
+# robots.txt (template keyed by host id, covering allow-all, prefix
+# disallow, longer-allow override, mid-pattern wildcard + query match,
+# and agent-specific group selection), and each url's path+query is
+# judged by the from-scratch RFC 9309 engine in robots.py.  The Spark
+# side parses the RAW url string (scheme gate, userinfo strip, host
+# extraction, fragment removal) and runs the regex-based longest-match
+# engine inside an Arrow UDF; the DuckDB oracle derives the same
+# verdicts INDEPENDENTLY — straight from the url generator's doc_id
+# arithmetic with SQL LIKE prefix logic, never touching a url string
+# or the engine.  Six decision branches meet at the same bit.
+_ROBOTS_TEMPLATES = (
+    "User-agent: *\nDisallow:",
+    "User-agent: *\nDisallow: /p/",
+    "User-agent: *\nDisallow: /a/\nAllow: /a/b/",
+    "User-agent: *\nDisallow: /*?",
+    "User-agent: sparkbot\nDisallow: /file/\nUser-agent: *\nDisallow: /",
+)
+
+
+def _url_robots_gate(spark, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    raw = spark.sql(
+        f"SELECT doc_id, {_URL_RAW_CASE} AS url_raw FROM documents")
+
+    def verdicts(iterator):
+        import re as _re
+
+        import pyarrow as pa
+
+        from crystal_html5_spark.sparkjob.queries import _ROBOTS_TEMPLATES
+        from crystal_html5_spark.sparkjob.robots import is_allowed
+
+        host_rx = _re.compile(r"host(\d+)\.example$")
+
+        def judge(url):
+            i = url.find("://")
+            if i < 0:
+                return (-1, -1, 0)
+            if url[:i].lower() not in ("http", "https"):
+                return (-1, -1, 0)
+            rest = url[i + 3:]
+            j = len(rest)
+            for ch in "/?#":
+                k = rest.find(ch)
+                if 0 <= k < j:
+                    j = k
+            auth, pathq = rest[:j], rest[j:]
+            if "@" in auth:
+                auth = auth.split("@", 1)[1]
+            host = auth.split(":", 1)[0].lower()
+            h = pathq.find("#")
+            if h >= 0:
+                pathq = pathq[:h]
+            if not pathq:
+                pathq = "/"
+            m = host_rx.match(host)
+            if not m:
+                return (-1, -1, 0)
+            hid = int(m.group(1))
+            txt = _ROBOTS_TEMPLATES[hid % len(_ROBOTS_TEMPLATES)]
+            return (hid, hid % len(_ROBOTS_TEMPLATES),
+                    1 if is_allowed(txt, "sparkbot", pathq) else 0)
+
+        for batch in iterator:
+            ids = batch.column("doc_id").to_pylist()
+            urls = batch.column("url_raw").to_pylist()
+            rows = [judge(u) for u in urls]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.array([r[0] for r in rows], pa.int32()),
+                 pa.array([r[1] for r in rows], pa.int32()),
+                 pa.array([r[2] for r in rows], pa.int32())],
+                names=["doc_id", "host_id", "template", "allowed"],
+            )
+
+    return raw.mapInArrow(
+        verdicts,
+        "doc_id long, host_id int, template int, allowed int",
+    ).orderBy("doc_id")
+
+
+# DuckDB replay: host/template/path derived from doc_id arithmetic (the
+# url generator's own definition), verdicts from per-template LIKE
+# logic hand-derived from the REP semantics of each template.
+_URL_ROBOTS_GATE_DUCK = """
+WITH base AS (
+  SELECT doc_id, doc_id % 10 AS branch,
+         CASE WHEN doc_id % 10 IN (5, 9) THEN -1
+              ELSE CAST(doc_id % 97 AS INT) END AS host_id
+  FROM documents
+),
+paths AS (
+  SELECT doc_id, host_id,
+         CASE WHEN host_id < 0 THEN CAST(-1 AS INT)
+              ELSE CAST(host_id % 5 AS INT) END AS template,
+         CASE branch
+           WHEN 2 THEN '/a/b/' || doc_id || '?utm_source=x&q=' || doc_id
+           WHEN 4 THEN '/p/' || doc_id || '?utm_campaign=c'
+           WHEN 8 THEN '/p/' || doc_id || '?b=2&utm_medium=m&a=1'
+           ELSE '/p/' || doc_id
+         END AS pathq
+  FROM base
+)
+SELECT doc_id, host_id, template,
+       CAST(CASE
+         WHEN host_id < 0 THEN 0
+         WHEN template = 0 THEN 1
+         WHEN template = 1 THEN
+           CASE WHEN pathq LIKE '/p/%' THEN 0 ELSE 1 END
+         WHEN template = 2 THEN
+           CASE WHEN pathq LIKE '/a/b/%' THEN 1
+                WHEN pathq LIKE '/a/%' THEN 0 ELSE 1 END
+         WHEN template = 3 THEN
+           CASE WHEN pathq LIKE '%?%' THEN 0 ELSE 1 END
+         ELSE CASE WHEN pathq LIKE '/file/%' THEN 0 ELSE 1 END
+       END AS INT) AS allowed
+FROM paths ORDER BY doc_id
+"""
+
+
 # --------------------- corpus card (GROUPING SETS) ---------------------
 #
 # The dataset-datasheet rollup every released training corpus ships
@@ -2926,6 +3049,7 @@ QUERIES: dict = {
     "emb_pq": _sql(_emb_pq_sql("spark")),
     "ann_pq_topk": _sql(_emb_pq_sql("spark", topk=10)),
     "docs_corpus_card": _sql(_DOCS_CORPUS_CARD),
+    "url_robots_gate": _url_robots_gate,
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -2997,6 +3121,7 @@ ORACLES: dict = {
     "emb_pq": _emb_pq_sql("duck"),
     "ann_pq_topk": _emb_pq_sql("duck", topk=10),
     "docs_corpus_card": _DOCS_CORPUS_CARD,
+    "url_robots_gate": _URL_ROBOTS_GATE_DUCK,
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
