@@ -650,3 +650,82 @@ SELECT doc_id, decoder, src_w, src_h,
        END AS INT) AS thumb_h
 FROM src ORDER BY doc_id
 """
+
+
+def media_frame_sample_query(spark, sf_dir: str):
+    """Deterministic video frame sampling — the multimodal-pipeline
+    primitive behind 'take K representative frames per clip for vision
+    preprocessing'.  For every AVI doc the REAL decoder materializes the
+    clip and the first / middle / last frames are sampled (indices
+    {0, nf//2, nf-1}, de-duplicated); each sampled frame reduces to
+    exact integer stats.  The DuckDB oracle replays the same numbers
+    from the synth arithmetic — frame f covers flat values
+    [f*h*w*nch, (f+1)*h*w*nch) of (id*13 + 7k) % 256 — without touching
+    a media byte, so one wrong pixel in any sampled frame fails the
+    hash."""
+    from pyspark.sql import functions as F
+
+    media = synth_media(spark, sf_dir).filter(F.col("doc_id") % 5 == 3)
+
+    def sample(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        from .avicodec import decode_avi
+
+        for batch in iterator:
+            ids = batch.column("doc_id").to_pylist()
+            blobs = batch.column("media").to_pylist()
+            did, fno, nv, vs, vmn, vmx = [], [], [], [], [], []
+            for i, blob in zip(ids, blobs):
+                frames = decode_avi(blob)[3]
+                nf = frames.shape[0]
+                for f in sorted({0, nf // 2, nf - 1}):
+                    v = np.asarray(frames[f], dtype=np.int64).ravel()
+                    did.append(i)
+                    fno.append(f)
+                    nv.append(int(v.size))
+                    vs.append(int(v.sum()))
+                    vmn.append(int(v.min()))
+                    vmx.append(int(v.max()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(did, pa.int64()), pa.array(fno, pa.int32()),
+                 pa.array(nv, pa.int64()), pa.array(vs, pa.int64()),
+                 pa.array(vmn, pa.int64()), pa.array(vmx, pa.int64())],
+                names=["doc_id", "frame_no", "n_values", "val_sum",
+                       "val_min", "val_max"],
+            )
+
+    return media.mapInArrow(
+        sample,
+        "doc_id bigint, frame_no int, n_values bigint, val_sum bigint,"
+        " val_min bigint, val_max bigint",
+    ).orderBy("doc_id", "frame_no")
+
+
+MEDIA_FRAME_SAMPLE_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS nf,
+         (6 + doc_id % 7) * (8 + doc_id % 9)
+           * (CASE WHEN (doc_id // 5) % 2 = 1 THEN 3 ELSE 1 END) AS fsz
+  FROM documents WHERE doc_id % 5 = 3
+),
+fr AS (
+  SELECT doc_id, fsz,
+         unnest(list_distinct([0, nf // 2, nf - 1])) AS frame_no
+  FROM g
+),
+v AS (
+  SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         list_transform(range(frame_no * fsz, (frame_no + 1) * fsz),
+                        k -> (doc_id * 13 + 7 * k) % 256) AS vals
+  FROM fr
+)
+SELECT doc_id, frame_no,
+       CAST(len(vals) AS BIGINT) AS n_values,
+       CAST(list_sum(vals) AS BIGINT) AS val_sum,
+       CAST(list_min(vals) AS BIGINT) AS val_min,
+       CAST(list_max(vals) AS BIGINT) AS val_max
+FROM v ORDER BY doc_id, frame_no
+"""

@@ -26,7 +26,9 @@ from .multimodal import (
     media_features_query as _media_features,
     media_meta_query as _media_meta,
     media_pixel_sums_query as _media_pixel_sums,
+    MEDIA_FRAME_SAMPLE_ORACLE as _MEDIA_FRAME_SAMPLE_ORACLE,
     MEDIA_PIXEL_SUMS_ORACLE as _MEDIA_PIXEL_SUMS_ORACLE,
+    media_frame_sample_query as _media_frame_sample,
     media_thumbs_query as _media_thumbs,
 )
 from .pages import n_pages_for_sf, pages_parquet
@@ -3067,6 +3069,7 @@ QUERIES: dict = {
     "media_features": _media_features,
     "media_meta": _media_meta,
     "media_pixel_sums": _media_pixel_sums,
+    "media_frame_sample": _media_frame_sample,
     "media_thumbs": _media_thumbs,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
     "extract_pages": _extract_pages,
@@ -3213,6 +3216,7 @@ ORACLES: dict = {
     # parameters without ever touching a media byte.
     "media_meta": _MEDIA_META_ORACLE,
     "media_pixel_sums": _MEDIA_PIXEL_SUMS_ORACLE,
+    "media_frame_sample": _MEDIA_FRAME_SAMPLE_ORACLE,
     # media_thumbs: resize operator metadata — thumb dims replayed by
     # DuckDB from doc_id arithmetic + the integer thumb_dims formula.
     "media_thumbs": _MEDIA_THUMBS_ORACLE,
