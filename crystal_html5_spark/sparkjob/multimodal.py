@@ -729,3 +729,85 @@ SELECT doc_id, frame_no,
        CAST(list_max(vals) AS BIGINT) AS val_max
 FROM v ORDER BY doc_id, frame_no
 """
+
+
+def media_audio_rms_query(spark, sf_dir: str):
+    """Windowed audio energy — the feature-extraction primitive behind
+    VAD/silence trimming and loudness normalization in audio training
+    pipelines.  Every WAV doc decodes through the real PCM codec and
+    reduces per 256-sample window (all channels interleaved, tail
+    window included) to exact integer energy stats: sum of squares,
+    peak absolute amplitude.  RMS itself is FLOOR(sqrt(sumsq/n)) —
+    integer-rooted so the oracle hash-matches.  DuckDB replays the
+    windows from the synth arithmetic s_k = ((k*(id%7+1)*997) % 4096)
+    - 2048 without touching a media byte."""
+    from pyspark.sql import functions as F
+
+    media = synth_media(spark, sf_dir).filter(F.col("doc_id") % 5 == 1)
+
+    def windows(iterator):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        from .wavcodec import decode_wav
+
+        for batch in iterator:
+            ids = batch.column("doc_id").to_pylist()
+            blobs = batch.column("media").to_pylist()
+            did, wno, nv, ssq, pk, rms = [], [], [], [], [], []
+            for i, blob in zip(ids, blobs):
+                samples = np.asarray(decode_wav(blob)[2],
+                                     dtype=np.int64).ravel()
+                for w in range(0, len(samples), 256):
+                    v = samples[w:w + 256]
+                    s = int((v * v).sum())
+                    did.append(i)
+                    wno.append(w // 256)
+                    nv.append(int(v.size))
+                    ssq.append(s)
+                    pk.append(int(np.abs(v).max()))
+                    rms.append(int(math.isqrt(s // int(v.size))))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(did, pa.int64()), pa.array(wno, pa.int32()),
+                 pa.array(nv, pa.int64()), pa.array(ssq, pa.int64()),
+                 pa.array(pk, pa.int64()), pa.array(rms, pa.int64())],
+                names=["doc_id", "win_no", "n_samples", "sum_sq",
+                       "peak", "rms"],
+            )
+
+    return media.mapInArrow(
+        windows,
+        "doc_id bigint, win_no int, n_samples bigint, sum_sq bigint,"
+        " peak bigint, rms bigint",
+    ).orderBy("doc_id", "win_no")
+
+
+MEDIA_AUDIO_RMS_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         (256 + doc_id % 500)
+           * (CASE WHEN (doc_id // 5) % 2 = 1 THEN 2 ELSE 1 END) AS n,
+         doc_id % 7 + 1 AS m
+  FROM documents WHERE doc_id % 5 = 1
+),
+w AS (
+  SELECT doc_id, n, m,
+         unnest(range(0, (n + 255) // 256)) AS win_no
+  FROM g
+),
+v AS (
+  SELECT doc_id, CAST(win_no AS INT) AS win_no,
+         list_transform(range(win_no * 256, least((win_no + 1) * 256, n)),
+                        k -> ((k * m * 997) % 4096) - 2048) AS vals
+  FROM w
+)
+SELECT doc_id, win_no,
+       CAST(len(vals) AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(vals, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(list_transform(vals, x -> abs(x))) AS BIGINT) AS peak,
+       CAST(FLOOR(sqrt(CAST(list_sum(list_transform(vals, x -> x * x))
+                            // len(vals) AS DOUBLE))) AS BIGINT) AS rms
+FROM v ORDER BY doc_id, win_no
+"""

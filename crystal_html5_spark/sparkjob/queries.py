@@ -26,7 +26,9 @@ from .multimodal import (
     media_features_query as _media_features,
     media_meta_query as _media_meta,
     media_pixel_sums_query as _media_pixel_sums,
+    MEDIA_AUDIO_RMS_ORACLE as _MEDIA_AUDIO_RMS_ORACLE,
     MEDIA_FRAME_SAMPLE_ORACLE as _MEDIA_FRAME_SAMPLE_ORACLE,
+    media_audio_rms_query as _media_audio_rms,
     MEDIA_PIXEL_SUMS_ORACLE as _MEDIA_PIXEL_SUMS_ORACLE,
     media_frame_sample_query as _media_frame_sample,
     media_thumbs_query as _media_thumbs,
@@ -3070,6 +3072,7 @@ QUERIES: dict = {
     "media_meta": _media_meta,
     "media_pixel_sums": _media_pixel_sums,
     "media_frame_sample": _media_frame_sample,
+    "media_audio_rms": _media_audio_rms,
     "media_thumbs": _media_thumbs,
     # HTML extraction pipeline (non-SQL-expressible -> rows-only checks)
     "extract_pages": _extract_pages,
@@ -3217,6 +3220,7 @@ ORACLES: dict = {
     "media_meta": _MEDIA_META_ORACLE,
     "media_pixel_sums": _MEDIA_PIXEL_SUMS_ORACLE,
     "media_frame_sample": _MEDIA_FRAME_SAMPLE_ORACLE,
+    "media_audio_rms": _MEDIA_AUDIO_RMS_ORACLE,
     # media_thumbs: resize operator metadata — thumb dims replayed by
     # DuckDB from doc_id arithmetic + the integer thumb_dims formula.
     "media_thumbs": _MEDIA_THUMBS_ORACLE,
