@@ -206,3 +206,61 @@ def start_stream(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+HLL_OUTPUT_DDL = ("lang string, m_hit int, z_scaled bigint,"
+                  " hll_estimate bigint")
+HLL_STATE_DDL = "regs array<int>"
+
+
+def hll_stream(docs: DataFrame) -> DataFrame:
+    """Streaming mergeable-sketch cardinality: per-language HyperLogLog
+    over document 3-gram shingles, registers carried in group state and
+    MAX-merged across micro-batches — the same merge a partial
+    aggregation performs executor-side at scale, so the streamed
+    estimate is EXACTLY the batch `docs_shingle_hll` estimate on the
+    union of all batches (pinned by test_streaming_hll_matches_batch).
+
+    Register derivation is bit-identical to the SQL sketch: register =
+    first 2 md5 hex digits, rho = 49 - length(bin(next 48 bits));
+    tokenization uses the ASCII \\S+ class to match Spark's regexp."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    M = 256
+    ALPHA = 0.7213 / (1 + 1.079 / M)
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        lang = key[0]
+        regs = list(state.get[0]) if state.exists else [0] * M
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                ws = _re.findall(r"\S+", text or "", _re.ASCII)
+                if len(ws) < 3:
+                    continue
+                for i in range(len(ws) - 2):
+                    g = " ".join(ws[i:i + 3])
+                    hx = hashlib.md5(g.encode()).hexdigest()
+                    reg = int(hx[:2], 16)
+                    v = int(hx[2:14], 16)
+                    rho = 49 - max(v.bit_length(), 1)
+                    if rho > regs[reg]:
+                        regs[reg] = rho
+        state.update((regs,))
+        m_hit = sum(1 for r in regs if r > 0)
+        z = sum(1 << (48 - r) for r in regs if r > 0)
+        z_all = z + (M - m_hit) * (1 << 48)
+        est = int(ALPHA * M * M * float(1 << 48) / z_all)
+        yield pd.DataFrame(
+            [(lang, m_hit, z, est)],
+            columns=["lang", "m_hit", "z_scaled", "hll_estimate"],
+        )
+
+    return docs.groupBy("lang").applyInPandasWithState(
+        fn, HLL_OUTPUT_DDL, HLL_STATE_DDL, "update",
+        GroupStateTimeout.NoTimeout,
+    )

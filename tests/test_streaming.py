@@ -295,3 +295,60 @@ def test_stream_warc_segments_and_resume(spark, tmp_path_factory):
     s = {(r["url"], r["warc_ts"]): bytes(r["text"])
          for r in got.collect()}
     assert s == b
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path_factory):
+    """The streaming HLL's MAX-merged register state must make the
+    multi-batch estimate EXACTLY equal the one-shot batch sketch on the
+    same documents (mergeability is what makes the sketch partial-agg
+    safe at scale)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crystal_html5_spark.sparkjob.queries import (
+        _docs_shingle_hll_sql,
+        load_views,
+    )
+    from crystal_html5_spark.sparkjob.streaming import hll_stream
+
+    base = tmp_path_factory.mktemp("hllstream")
+    input_dir = base / "in"
+    input_dir.mkdir()
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "text").collect()
+    half = len(docs) // 2
+    for name, chunk in (("b0.parquet", docs[:half]),
+                        ("b1.parquet", docs[half:])):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+            "lang": pa.array([r["lang"] for r in chunk], pa.string()),
+            "text": pa.array([r["text"] for r in chunk], pa.string()),
+        }), input_dir / name)
+
+    stream = spark.readStream.schema(
+        "doc_id long, lang string, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(input_dir))
+    q = hll_stream(stream).writeStream \
+        .format("memory").queryName("hll_out") \
+        .outputMode("update") \
+        .option("checkpointLocation", str(base / "cp")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # last update per lang = state after ALL batches: registers only
+    # grow across merges, so the estimate increases monotonically and
+    # the final state is the row with the LARGEST estimate
+    out = spark.sql("""
+        SELECT lang, hll_estimate FROM (
+          SELECT lang, hll_estimate,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY hll_estimate DESC) rn
+          FROM hll_out) WHERE rn = 1
+    """).collect()
+    streamed = {r["lang"]: r["hll_estimate"] for r in out}
+
+    load_views(spark, sf_dir)
+    batch = {r["lang"]: r["hll_estimate"]
+             for r in spark.sql(_docs_shingle_hll_sql("spark")).collect()}
+    assert streamed == batch
