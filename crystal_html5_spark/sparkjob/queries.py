@@ -750,31 +750,39 @@ FROM perdoc ORDER BY doc_id
 # Scale shape: wcnt is vocabulary-sized (Zipf: tiny vs the corpus), so
 # Catalyst/AQE broadcasts it; the 1-row total is a broadcast nested
 # loop.  The only corpus-sized shuffle is the per-doc GROUP BY.
-def _docs_unigram_logprob_sql(dialect: str) -> str:
+def _unigram_ctes(dialect: str) -> str:
+    """The unigram-LM cost CTE chain (u-prefixed names so it composes
+    with the minhash CTEs inside one WITH — docs_curation_verdict)."""
     if dialect == "spark":
         toks = "regexp_extract_all(text, '\\\\S+', 0)"
-        wtok = "SELECT doc_id, explode(ws) AS w FROM toks"
+        wtok = "SELECT doc_id, explode(ws) AS w FROM utoks"
     else:
         toks = r"regexp_extract_all(text, '\S+')"
-        wtok = "SELECT doc_id, unnest(ws) AS w FROM toks"
-    return f"""
-WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
-wtoks AS ({wtok}),
-wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wtoks GROUP BY w),
-tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM wcnt),
-costs AS (
-  SELECT wtoks.doc_id,
-         CAST(FLOOR(-1000.0 * log2(1.0 * wcnt.c / tot.t) + 0.5)
+        wtok = "SELECT doc_id, unnest(ws) AS w FROM utoks"
+    return f"""utoks AS (SELECT doc_id, {toks} AS ws FROM documents),
+uwtoks AS ({wtok}),
+uwcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uwtoks GROUP BY w),
+utot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uwcnt),
+ucosts AS (
+  SELECT uwtoks.doc_id,
+         CAST(FLOOR(-1000.0 * log2(1.0 * uwcnt.c / utot.t) + 0.5)
               AS BIGINT) AS millibits
-  FROM wtoks JOIN wcnt ON wtoks.w = wcnt.w CROSS JOIN tot
-)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(millibits) AS BIGINT) AS sum_millibits,
-       CAST(FLOOR(1.0 * SUM(millibits) / COUNT(*)) AS BIGINT)
-           AS avg_millibits
-FROM costs GROUP BY doc_id ORDER BY doc_id
-"""
+  FROM uwtoks JOIN uwcnt ON uwtoks.w = uwcnt.w CROSS JOIN utot
+),
+uni AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(millibits) AS BIGINT) AS sum_millibits,
+         CAST(FLOOR(1.0 * SUM(millibits) / COUNT(*)) AS BIGINT)
+             AS avg_millibits
+  FROM ucosts GROUP BY doc_id
+)"""
+
+
+def _docs_unigram_logprob_sql(dialect: str) -> str:
+    return (f"WITH {_unigram_ctes(dialect)}\n"
+            "SELECT doc_id, n_tokens, sum_millibits, avg_millibits"
+            " FROM uni ORDER BY doc_id\n")
 
 
 # ------------- deterministic HyperLogLog distinct sketch  -------------
@@ -1043,6 +1051,92 @@ SELECT host, n_pages,
 FROM agg CROSS JOIN tot
 ORDER BY n_pages DESC, host LIMIT 10
 """
+
+
+# -------------- end-to-end curation verdict (keep/drop) --------------
+#
+# The END PRODUCT of a training-data pipeline: one keep/drop decision
+# per document, composed from the pipeline's own stages —
+#   keep_exact: first doc (min id) among byte-identical texts (md5)
+#   keep_near : not in the verified near-dup graph, or the connected-
+#               component representative (docs_dup_clusters semantics)
+#   quality_ok: unigram-LM cost band + minimum length (the CCNet-style
+#               filter, thresholds chosen to exercise both branches on
+#               the fixture: ~40% fail the cost gate, ~4% the length)
+#   keep      : all three
+# Component flags ride along so every gate is visible per document.
+#
+# Spark runs the iterative CC (cc.py) and feeds the labels into one
+# composed SQL; the DuckDB oracle is a single statement — minhash CTEs
+# + recursive min-label walk + the u-prefixed unigram chain — deriving
+# every flag independently.
+_CURATION_MIN_TOKENS = 15
+_CURATION_MAX_MILLIBITS = 4910
+
+
+def _curation_select_sql(labels_rel: str, dialect: str) -> str:
+    """Shared verdict SELECT over documents + a (doc_id, rep) labels
+    relation + the uni CTE (both engines)."""
+    return f"""
+exact AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS keep_exact
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(e.keep_exact AS INT) AS keep_exact,
+       CAST(CASE WHEN l.rep IS NULL OR l.rep = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS keep_near,
+       CAST(CASE WHEN u.n_tokens >= {_CURATION_MIN_TOKENS}
+                  AND u.avg_millibits <= {_CURATION_MAX_MILLIBITS}
+                 THEN 1 ELSE 0 END AS INT) AS quality_ok,
+       CAST(CASE WHEN e.keep_exact = 1
+                  AND (l.rep IS NULL OR l.rep = d.doc_id)
+                  AND u.n_tokens >= {_CURATION_MIN_TOKENS}
+                  AND u.avg_millibits <= {_CURATION_MAX_MILLIBITS}
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d
+JOIN exact e ON d.doc_id = e.doc_id
+JOIN uni u ON d.doc_id = u.doc_id
+LEFT JOIN {labels_rel} l ON d.doc_id = l.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _docs_curation_verdict(spark, sf_dir: str) -> DataFrame:
+    from .cc import connected_components
+
+    load_views(spark, sf_dir)
+    edges = spark.sql(_dup_edges_sql("spark"))
+    labels = connected_components(edges, "doc_a", "doc_b")
+    labels.select(F.col("node").alias("doc_id"),
+                  F.col("component").alias("rep")) \
+        .createOrReplaceTempView("dup_labels")
+    return spark.sql(
+        f"WITH {_unigram_ctes('spark')},"
+        + _curation_select_sql("dup_labels", "spark"))
+
+
+def _docs_curation_verdict_oracle() -> str:
+    edges = _dup_edges_sql("duck").strip()
+    body = edges[len("WITH"):]
+    select_at = body.index("\nSELECT doc_a, doc_b")
+    ctes, edge_select = body[:select_at], body[select_at:].strip()
+    return f"""WITH RECURSIVE {ctes},
+eg AS ({edge_select}),
+und AS (
+  SELECT doc_a AS n, doc_b AS o FROM eg
+  UNION
+  SELECT doc_b AS n, doc_a AS o FROM eg
+),
+walk(n, lbl) AS (
+  SELECT n, n FROM und
+  UNION
+  SELECT u.n, w.lbl FROM und u JOIN walk w ON u.o = w.n
+),
+labels AS (SELECT n AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY n),
+{_unigram_ctes('duck')},{_curation_select_sql('labels', 'duck')}"""
 
 
 # ----------------- robots.txt crawl gate (RFC 9309) -----------------
@@ -3054,6 +3148,7 @@ QUERIES: dict = {
     "ann_pq_topk": _sql(_emb_pq_sql("spark", topk=10)),
     "docs_corpus_card": _sql(_DOCS_CORPUS_CARD),
     "url_robots_gate": _url_robots_gate,
+    "docs_curation_verdict": _docs_curation_verdict,
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -3128,6 +3223,7 @@ ORACLES: dict = {
     "ann_pq_topk": _emb_pq_sql("duck", topk=10),
     "docs_corpus_card": _DOCS_CORPUS_CARD,
     "url_robots_gate": _URL_ROBOTS_GATE_DUCK,
+    "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
