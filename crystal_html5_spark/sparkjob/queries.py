@@ -1053,6 +1053,34 @@ ORDER BY n_pages DESC, host LIMIT 10
 """
 
 
+# ------------- exact per-group quantiles (rank arithmetic) -------------
+#
+# Engine-portable EXACT discrete quantiles: percentile_approx sketches
+# differ between engines by construction, so the cross-checkable form
+# is rank arithmetic — value at row ceil(q*n) of the per-group sort
+# (ties broken by doc_id, so the picked row is unique and
+# deterministic).  One window pass, one aggregation; the window
+# partitions on the same key as the final GROUP BY.
+_DOCS_LENGTH_QUANTILES = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p90_chars,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p99_chars
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
 # -------------- end-to-end curation verdict (keep/drop) --------------
 #
 # The END PRODUCT of a training-data pipeline: one keep/drop decision
@@ -3149,6 +3177,7 @@ QUERIES: dict = {
     "docs_corpus_card": _sql(_DOCS_CORPUS_CARD),
     "url_robots_gate": _url_robots_gate,
     "docs_curation_verdict": _docs_curation_verdict,
+    "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -3224,6 +3253,7 @@ ORACLES: dict = {
     "docs_corpus_card": _DOCS_CORPUS_CARD,
     "url_robots_gate": _URL_ROBOTS_GATE_DUCK,
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
+    "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
