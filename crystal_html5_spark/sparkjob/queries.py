@@ -1053,6 +1053,80 @@ ORDER BY n_pages DESC, host LIMIT 10
 """
 
 
+# ------------- anchor-text aggregation over the link graph -------------
+#
+# The web-graph rollup behind anchor-text features (retrieval training,
+# title enrichment, spam signals): every a[href] match contributes
+# (source url, href, anchor text); links are bucketed to their TARGET
+# (the /ref/<doc> prefix — the fixture's citation shape) and the top
+# in-degree targets report reference counts, distinct sources and the
+# anchor-text variety.  ORDER BY/LIMIT plans as TakeOrderedAndProject
+# over the target-sized aggregate.  Spark extracts anchors through the
+# CSS engine in the same Arrow-UDF pattern as page_links; the oracle
+# runs the identical ANSI rollup over frozen per-anchor rows from the
+# in-process engine.
+_ANCHOR_AGG_SQL = """
+WITH targets AS (
+  SELECT url,
+         CASE WHEN href LIKE '/ref/%'
+              THEN regexp_extract(href, '^(/ref/[0-9]+)', 1)
+              ELSE href END AS target,
+         anchor_text
+  FROM {src}
+)
+SELECT target,
+       CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT anchor_text) AS BIGINT) AS n_anchor_variants,
+       MIN(anchor_text) AS first_anchor
+FROM targets GROUP BY target
+ORDER BY n_refs DESC, target LIMIT 50
+"""
+
+
+def _extract_anchor_texts(spark, sf_dir: str) -> DataFrame:
+    pages = _pages_fixed(spark).select("url", "html")
+
+    def anchors(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.css import compile_selector
+        from crystal_html5_spark.html5x.extract import _utf8_safe
+        from crystal_html5_spark.html5x.parser import parse
+
+        sel = compile_selector("a[href]")
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            u, h, a = [], [], []
+            for url, html in zip(urls, htmls):
+                try:
+                    matches = sel.select(parse(html or b""))
+                except Exception:  # noqa: BLE001
+                    matches = []
+                for m in matches:
+                    u.append(url)
+                    h.append(_utf8_safe(m["href"]))
+                    a.append(_utf8_safe(m.inner_text()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(u, pa.string()), pa.array(h, pa.string()),
+                 pa.array(a, pa.string())],
+                names=["url", "href", "anchor_text"],
+            )
+
+    adf = pages.mapInArrow(
+        anchors, "url string, href string, anchor_text string")
+    adf.createOrReplaceTempView("page_anchors")
+    return spark.sql(_ANCHOR_AGG_SQL.format(src="page_anchors"))
+
+
+def _extract_anchor_texts_oracle() -> str:
+    return _ANCHOR_AGG_SQL.format(
+        src="read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_anchors_{_FIXED_PAGES_N}.parquet'}')"
+    )
+
+
 # ------------- exact per-group quantiles (rank arithmetic) -------------
 #
 # Engine-portable EXACT discrete quantiles: percentile_approx sketches
@@ -3178,6 +3252,7 @@ QUERIES: dict = {
     "url_robots_gate": _url_robots_gate,
     "docs_curation_verdict": _docs_curation_verdict,
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
+    "extract_anchor_texts": _extract_anchor_texts,
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -3254,6 +3329,7 @@ ORACLES: dict = {
     "url_robots_gate": _URL_ROBOTS_GATE_DUCK,
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
+    "extract_anchor_texts": _extract_anchor_texts_oracle(),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),

@@ -166,6 +166,28 @@ def extract_lines_rows(rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def anchor_rows(rows: list[tuple]) -> list[tuple]:
+    """(url, href, anchor_text) per a[href] match over EVERY fixture
+    row (recrawls included, matching page_links' convention) — raw
+    inputs for the extract_anchor_texts oracle, which aggregates the
+    link graph's anchor-text distribution in SQL."""
+    from crystal_html5_spark.html5x.css import compile_selector
+    from crystal_html5_spark.html5x.extract import _utf8_safe
+    from crystal_html5_spark.html5x.parser import parse
+
+    sel = compile_selector("a[href]")
+    out = []
+    for url, _ts, html, _text, _lang in rows:
+        try:
+            matches = sel.select(parse(html or b""))
+        except Exception:  # noqa: BLE001
+            matches = []
+        for m in matches:
+            out.append((url, _utf8_safe(m["href"]),
+                        _utf8_safe(m.inner_text())))
+    return out
+
+
 def block_feature_rows(rows: list[tuple]) -> list[tuple]:
     """Latest-capture dedup + parse + block_features, exploded to
     (url, block_no, tag, text_len, link_len) — the raw inputs the
@@ -260,6 +282,14 @@ def main() -> None:
         "line": pa.array([r[2] for r in li], pa.string()),
     })
     pq.write_table(lit, OUT_DIR / f"extract_lines_{N_PAGES}.parquet")
+
+    an = anchor_rows(rows)
+    ant = pa.table({
+        "url": pa.array([r[0] for r in an], pa.string()),
+        "href": pa.array([r[1] for r in an], pa.string()),
+        "anchor_text": pa.array([r[2] for r in an], pa.string()),
+    })
+    pq.write_table(ant, OUT_DIR / f"extract_anchors_{N_PAGES}.parquet")
 
     bf = block_feature_rows(rows)
     bft = pa.table({
