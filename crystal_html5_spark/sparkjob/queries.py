@@ -735,6 +735,71 @@ FROM perdoc ORDER BY doc_id
 """
 
 
+# ------------- duplicated-span extraction (gaps & islands) -------------
+#
+# The span-level form of substring dedup: Lee et al. REMOVE the
+# duplicated substring rather than the document, which needs the
+# positions — this query reports, per document, the longest CONSECUTIVE
+# run of duplicated 5-token windows (start position + length in
+# windows, i.e. a concrete [start, start+len+4) token span to cut).
+# Runs are recovered with the gaps-and-islands trick: among duplicated
+# windows ordered by position, pos - ROW_NUMBER() is constant within a
+# consecutive run.  Window functions partition on doc_id — the same key
+# as every other per-doc stage.
+def _docs_dup_spans_sql(dialect: str) -> str:
+    n = _NGRAM_N
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        grams = (f"posexplode(transform(sequence(1, size(ws) - {n - 1}),"
+                 f" i -> concat_ws(' ', slice(ws, i, {n}))))")
+        gsel = (f"SELECT doc_id, pos, g FROM eligible"
+                f" LATERAL VIEW {grams} t AS pos, g")
+        guard = f"size(ws) >= {n}"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        gsel = (f"SELECT doc_id,"
+                f" unnest(range(0, len(ws) - {n - 1})) AS pos,"
+                f" unnest(list_transform(range(1, len(ws) - {n - 2}),"
+                f" i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS g"
+                " FROM eligible")
+        guard = f"len(ws) >= {n}"
+    gh = _md5_int(dialect, "g")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+eligible AS (SELECT doc_id, ws FROM toks WHERE {guard}),
+gstr AS ({gsel}),
+grams AS (SELECT doc_id, pos, {gh} AS gh FROM gstr),
+gcount AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gh),
+dups AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN gcount c ON g.gh = c.gh
+  WHERE c.nd >= 2
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+  FROM dups
+),
+runs AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS run_start,
+         CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM islands GROUP BY doc_id, grp
+),
+best AS (
+  SELECT doc_id, run_start, run_len FROM (
+    SELECT doc_id, run_start, run_len,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY run_len DESC, run_start) AS rn
+    FROM runs) t
+  WHERE rn = 1
+)
+SELECT doc_id, run_start, run_len,
+       CAST(run_len + {n - 1} AS BIGINT) AS span_tokens
+FROM best ORDER BY doc_id
+"""
+
+
 # --------- corpus unigram-LM quality score (CCNet-style proxy) ---------
 #
 # CCNet/Gopher-style pipelines score documents with a language-model
@@ -3253,6 +3318,7 @@ QUERIES: dict = {
     "docs_curation_verdict": _docs_curation_verdict,
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "extract_anchor_texts": _extract_anchor_texts,
+    "docs_dup_spans": _sql(_docs_dup_spans_sql("spark")),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -3330,6 +3396,7 @@ ORACLES: dict = {
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "extract_anchor_texts": _extract_anchor_texts_oracle(),
+    "docs_dup_spans": _docs_dup_spans_sql("duck"),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
