@@ -1220,6 +1220,43 @@ FROM ranked GROUP BY lang ORDER BY lang
 """
 
 
+# ------------- CCNet-style quality tiers (head/middle/tail) -------------
+#
+# CCNet buckets documents into head/middle/tail by LM-score terciles and
+# trains on the head.  Scale-correct cutoff extraction: NO global row
+# sort — the corpus aggregates to a histogram of DISTINCT quality
+# values (tiny), a cumulative window over that histogram finds the two
+# tercile cutoff VALUES, and every doc assigns its tier by comparing to
+# the broadcast cutoffs.  Ties at a cutoff all take the lower tier
+# (value comparison only — partition-order-free).
+def _docs_quality_tiers_sql(dialect: str) -> str:
+    return f"""
+WITH {_unigram_ctes(dialect)},
+hist AS (
+  SELECT avg_millibits AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM uni GROUP BY avg_millibits
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS running, n
+  FROM hist CROSS JOIN tot
+),
+cuts AS (
+  SELECT MIN(CASE WHEN running >= CAST(CEIL(n / 3.0) AS BIGINT)
+                  THEN v END) AS c1,
+         MIN(CASE WHEN running >= CAST(CEIL(2.0 * n / 3.0) AS BIGINT)
+                  THEN v END) AS c2
+  FROM cum
+)
+SELECT u.doc_id, u.avg_millibits,
+       CAST(CASE WHEN u.avg_millibits <= cuts.c1 THEN 1
+                 WHEN u.avg_millibits <= cuts.c2 THEN 2
+                 ELSE 3 END AS INT) AS tier
+FROM uni u CROSS JOIN cuts
+ORDER BY u.doc_id
+"""
+
+
 # -------------- end-to-end curation verdict (keep/drop) --------------
 #
 # The END PRODUCT of a training-data pipeline: one keep/drop decision
@@ -3319,6 +3356,7 @@ QUERIES: dict = {
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "extract_anchor_texts": _extract_anchor_texts,
     "docs_dup_spans": _sql(_docs_dup_spans_sql("spark")),
+    "docs_quality_tiers": _sql(_docs_quality_tiers_sql("spark")),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -3397,6 +3435,7 @@ ORACLES: dict = {
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "extract_anchor_texts": _extract_anchor_texts_oracle(),
     "docs_dup_spans": _docs_dup_spans_sql("duck"),
+    "docs_quality_tiers": _docs_quality_tiers_sql("duck"),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
