@@ -1220,6 +1220,60 @@ FROM ranked GROUP BY lang ORDER BY lang
 """
 
 
+# ----------------- Count-Min sketch (token frequencies) -----------------
+#
+# The counting sketch for corpus-scale frequency estimation (Cormode &
+# Muthukrishnan 2005): d=4 hash rows x w=256 columns of integer
+# counters.  Unlike top-k sketches (Misra-Gries/SpaceSaving), CMS is
+# ORDER-FREE — counters are sums, so partial aggregation, shuffle
+# order and engine never change a bit, and the estimate
+# (min over rows of counter[row][h_row(token)]) is >= the true count
+# with bounded overcount.  Hashes are the md5 dual-derivation family;
+# everything is integer.  Output compares estimate vs exact for the
+# top-20 tokens so the sketch's error is visible and graded.
+_CMS_D = 4
+_CMS_W = 64  # sized so the ~45-token fixture vocab collides in some
+# cells (overcount visible) while min-over-rows still recovers most
+# counts exactly — both regimes of the estimator are exercised
+
+
+def _docs_token_cms_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        wtok = "SELECT doc_id, explode(ws) AS w FROM toks"
+        vals = ("FROM VALUES (0), (1), (2), (3) AS t(j)")
+        scast = "STRING"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        wtok = "SELECT doc_id, unnest(ws) AS w FROM toks"
+        vals = "FROM (VALUES (0), (1), (2), (3)) t(j)"
+        scast = "VARCHAR"
+    def col(wexpr: str, jref: str = "j") -> str:
+        return ("(" + _md5_int(
+            dialect, f"(CAST({jref} AS {scast}) || ':' || {wexpr})", nhex=8)
+            + f") % {_CMS_W}"
+        )
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+wtoks AS ({wtok}),
+js AS (SELECT j {vals}),
+counters AS (
+  SELECT j, {col('w')} AS col, CAST(COUNT(*) AS BIGINT) AS c
+  FROM wtoks CROSS JOIN js
+  GROUP BY j, {col('w')}
+),
+exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wtoks GROUP BY w),
+top AS (SELECT w, c FROM exact ORDER BY c DESC, w LIMIT 20)
+SELECT t.w AS term, t.c AS exact_count,
+       CAST(MIN(ct.c) AS BIGINT) AS cms_count,
+       CAST(MIN(ct.c) - t.c AS BIGINT) AS overcount
+FROM top t CROSS JOIN js
+JOIN counters ct ON ct.j = js.j AND ct.col = {col('t.w', 'js.j')}
+GROUP BY t.w, t.c
+ORDER BY exact_count DESC, term
+"""
+
+
 # ------------- CCNet-style quality tiers (head/middle/tail) -------------
 #
 # CCNet buckets documents into head/middle/tail by LM-score terciles and
@@ -3357,6 +3411,7 @@ QUERIES: dict = {
     "extract_anchor_texts": _extract_anchor_texts,
     "docs_dup_spans": _sql(_docs_dup_spans_sql("spark")),
     "docs_quality_tiers": _sql(_docs_quality_tiers_sql("spark")),
+    "docs_token_cms": _sql(_docs_token_cms_sql("spark")),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -3436,6 +3491,7 @@ ORACLES: dict = {
     "extract_anchor_texts": _extract_anchor_texts_oracle(),
     "docs_dup_spans": _docs_dup_spans_sql("duck"),
     "docs_quality_tiers": _docs_quality_tiers_sql("duck"),
+    "docs_token_cms": _docs_token_cms_sql("duck"),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
