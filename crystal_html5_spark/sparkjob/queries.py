@@ -1220,6 +1220,34 @@ FROM ranked GROUP BY lang ORDER BY lang
 """
 
 
+# ------------- deterministic training-shard assignment -------------
+#
+# Reproducible global shuffle for training: every document gets a
+# pseudorandom but DETERMINISTIC position — shard = id-hash mod 64,
+# position = rank of the full hash within the shard — so any engine,
+# any partitioning, any rerun materializes byte-identical shards in
+# byte-identical order (the property data loaders need for resumable
+# epoch replay).  Scale shape: the only window partitions BY SHARD, so
+# no global sort ever happens; shards write independently.
+_DOCS_SHARD_N = 64
+
+
+def _docs_shard_assign_sql(dialect: str) -> str:
+    h = _md5_int(dialect, "CAST(doc_id AS "
+                 + ("STRING" if dialect == "spark" else "VARCHAR") + ")")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS hkey FROM documents
+)
+SELECT doc_id,
+       CAST(hkey % {_DOCS_SHARD_N} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hkey % {_DOCS_SHARD_N}
+                               ORDER BY hkey, doc_id) AS BIGINT)
+           AS pos_in_shard
+FROM hashed ORDER BY doc_id
+"""
+
+
 # ----------------- Count-Min sketch (token frequencies) -----------------
 #
 # The counting sketch for corpus-scale frequency estimation (Cormode &
@@ -3412,6 +3440,7 @@ QUERIES: dict = {
     "docs_dup_spans": _sql(_docs_dup_spans_sql("spark")),
     "docs_quality_tiers": _sql(_docs_quality_tiers_sql("spark")),
     "docs_token_cms": _sql(_docs_token_cms_sql("spark")),
+    "docs_shard_assign": _sql(_docs_shard_assign_sql("spark")),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -3492,6 +3521,7 @@ ORACLES: dict = {
     "docs_dup_spans": _docs_dup_spans_sql("duck"),
     "docs_quality_tiers": _docs_quality_tiers_sql("duck"),
     "docs_token_cms": _docs_token_cms_sql("duck"),
+    "docs_shard_assign": _docs_shard_assign_sql("duck"),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
