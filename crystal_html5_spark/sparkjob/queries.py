@@ -1006,6 +1006,38 @@ def _extract_line_dedup_oracle() -> str:
     return _line_dedup_sql("duck", lines_src)
 
 
+# ------------- event-path transition mining (lead window) -------------
+#
+# Behavioral sequence mining: consecutive event-type transitions per
+# user (the edges of a user-journey Markov chain), counted corpus-wide
+# with each transition's share of its source state.  lead() over the
+# per-user timeline — ordered by (ts, event_id) so recordings with
+# equal timestamps stay deterministic — then one aggregation; the
+# window partitions on user_id, the same key sessionization uses.
+_EVENTS_PATH_BIGRAMS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM pairs
+  GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(FLOOR(1000.0 * p.n / t.t) AS BIGINT) AS share_millis
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+ORDER BY p.from_type, p.to_type
+"""
+
+
 # ----------------- weekly cohort retention (events) -----------------
 #
 # The classic product-analytics rollup: users cohorted by the ISO week
@@ -3427,6 +3459,7 @@ QUERIES: dict = {
     "extract_line_dedup": _extract_line_dedup,
     "extract_content_blocks": _extract_content_blocks,
     "events_retention": _sql(_events_retention_sql("spark")),
+    "events_path_bigrams": _sql(_EVENTS_PATH_BIGRAMS),
     "docs_tfidf_topk": _sql(_docs_tfidf_sql("spark")),
     "url_host_skew": _sql(_URL_HOST_SKEW),
     "docs_pagerank": _docs_pagerank,
@@ -3508,6 +3541,7 @@ ORACLES: dict = {
     "extract_line_dedup": _extract_line_dedup_oracle(),
     "extract_content_blocks": _extract_content_blocks_oracle(),
     "events_retention": _events_retention_sql("duck"),
+    "events_path_bigrams": _EVENTS_PATH_BIGRAMS,
     "docs_tfidf_topk": _docs_tfidf_sql("duck"),
     "url_host_skew": _URL_HOST_SKEW,
     "docs_pagerank": _docs_pagerank_oracle(),

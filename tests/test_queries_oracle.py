@@ -241,3 +241,24 @@ LIMIT 10""").collect()}
           for r in entrymod.queries()["ann_pq_topk"](spark, SF_DIR)
           .collect()}
     assert len(exact & pq) >= 8
+
+
+def test_anchor_texts_plan_is_topk(spark):
+    """The anchor rollup's final ordering must plan as
+    TakeOrderedAndProject over the target-sized aggregate — the corpus
+    of anchor rows never globally sorts."""
+    plan = entrymod.queries()["extract_anchor_texts"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shard_assign_plan_no_global_sort_before_window(spark):
+    """Shard assignment's window must partition by shard: the plan's
+    Window sort is (shard, hkey, ...) within partitions, never a
+    single-partition global window."""
+    plan = entrymod.queries()["docs_shard_assign"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # a single-partition global window would show an Exchange
+    # SinglePartition feeding the Window
+    assert "SinglePartition" not in plan.split("Window")[0].splitlines()[-1]
