@@ -264,3 +264,93 @@ def hll_stream(docs: DataFrame) -> DataFrame:
         fn, HLL_OUTPUT_DDL, HLL_STATE_DDL, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+NEAR_DUP_PAIRS_DDL = "doc_a long, doc_b long, band_no int"
+NEAR_DUP_STATE_DDL = "members array<long>"
+
+
+def _py_minhash_bands(text: str) -> list:
+    """(band_no, band_key) per LSH band, replicating queries.py's SQL
+    derivation bit-for-bit: ASCII \\S+ tokens, 3-shingles, md5-prefix
+    hashes mod 2^31-1, 64 universal-hash minima, band key =
+    md5('_'-joined 4 signature values)."""
+    import hashlib
+    import re as _re
+
+    from .queries import _MH_PRIME, _mh_perm_consts
+
+    ws = _re.findall(r"\S+", text or "", _re.ASCII)
+    if len(ws) < 3:
+        return []
+    hs = [int(hashlib.md5(" ".join(ws[i:i + 3]).encode())
+              .hexdigest()[:8], 16) % _MH_PRIME
+          for i in range(len(ws) - 2)]
+    sig = [min((a * h + b) % _MH_PRIME for h in hs)
+           for a, b in _mh_perm_consts()]
+    out = []
+    for j in range(16):
+        key = hashlib.md5(
+            "_".join(str(sig[j * 4 + r]) for r in range(4)).encode()
+        ).hexdigest()
+        out.append((j, key))
+    return out
+
+
+def near_dup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming near-duplicate detection: every arriving document's
+    LSH bands route to band-bucket state, and a collision with ANY
+    earlier member of the bucket emits a candidate pair — so the
+    distinct streamed pairs are EXACTLY the batch band-join pairs on
+    the union of all micro-batches (pinned by
+    test_streaming_near_dups_match_batch).
+
+    State note: buckets keep full member lists, which is what makes
+    the batch-equality exact; a production deployment would keep only
+    the bucket representative (emit (rep, new) and drop the list),
+    trading the all-pairs guarantee for O(1) state per bucket."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def explode_bands(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            d, b, k = [], [], []
+            for i, text in zip(ids, texts):
+                for band_no, key in _py_minhash_bands(text):
+                    d.append(i)
+                    b.append(band_no)
+                    k.append(key)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(d, pa.int64()), pa.array(b, pa.int32()),
+                 pa.array(k, pa.string())],
+                names=["doc_id", "band_no", "band_key"],
+            )
+
+    banded = docs.mapInArrow(
+        explode_bands, "doc_id long, band_no int, band_key string")
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        band_no = int(key[0])
+        members = list(state.get[0]) if state.exists else []
+        new_ids: list = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["doc_id"])
+        rows = []
+        for i in sorted(set(new_ids)):
+            if i in members:
+                continue
+            for m in members:
+                rows.append((min(m, i), max(m, i), band_no))
+            members.append(i)
+        state.update((members,))
+        yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band_no"])
+
+    return banded.groupBy("band_no", "band_key").applyInPandasWithState(
+        fn, NEAR_DUP_PAIRS_DDL, NEAR_DUP_STATE_DDL, "update",
+        GroupStateTimeout.NoTimeout,
+    )

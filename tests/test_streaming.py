@@ -352,3 +352,53 @@ def test_streaming_hll_matches_batch(spark, tmp_path_factory):
     batch = {r["lang"]: r["hll_estimate"]
              for r in spark.sql(_docs_shingle_hll_sql("spark")).collect()}
     assert streamed == batch
+
+
+def test_streaming_near_dups_match_batch(spark, tmp_path_factory):
+    """Distinct streamed LSH collision pairs across two micro-batches
+    must equal the batch band-join candidate pairs on the full corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crystal_html5_spark.sparkjob.queries import (
+        _JACCARD_PAIRS_CTE,
+        _mh_prefix,
+        load_views,
+    )
+    from crystal_html5_spark.sparkjob.streaming import near_dup_stream
+
+    base = tmp_path_factory.mktemp("ndstream")
+    input_dir = base / "in"
+    input_dir.mkdir()
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    half = len(docs) // 2
+    for name, chunk in (("b0.parquet", docs[:half]),
+                        ("b1.parquet", docs[half:])):
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+            "text": pa.array([r["text"] for r in chunk], pa.string()),
+        }), input_dir / name)
+
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(str(input_dir))
+    q = near_dup_stream(stream).writeStream \
+        .format("memory").queryName("nd_out") \
+        .outputMode("update") \
+        .option("checkpointLocation", str(base / "cp")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    streamed = {(r["doc_a"], r["doc_b"])
+                for r in spark.sql(
+                    "SELECT DISTINCT doc_a, doc_b FROM nd_out").collect()}
+
+    load_views(spark, sf_dir)
+    batch_sql = (_mh_prefix("spark", with_bands=True) + ","
+                 + _JACCARD_PAIRS_CTE
+                 + "\nSELECT doc_a, doc_b FROM pairs")
+    batch = {(r["doc_a"], r["doc_b"])
+             for r in spark.sql(batch_sql).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
