@@ -82,3 +82,49 @@ def test_mid_pattern_wildcard():
     assert not is_allowed(txt, "bot", "/a/b/c")
     assert not is_allowed(txt, "bot", "/a/bb/cc")
     assert is_allowed(txt, "bot", "/a/b")
+
+
+def test_differential_vs_stdlib_robotparser():
+    """Differential check against an independent implementation: for
+    PREFIX-ONLY rules (no wildcards/anchors — the subset where the old
+    REP and RFC 9309 coincide), urllib.robotparser's first-match over a
+    longest-first, allow-before-disallow-on-ties rule order equals RFC
+    longest-match.  Our engine receives the rules SHUFFLED (longest-
+    match must be order-free); stdlib receives them sorted."""
+    import random
+    import urllib.robotparser as rp
+
+    segs = ["/a", "/b", "/a/b", "/a/c", "/b/c", "/a/b/c", "/c"]
+    paths = ["/a", "/a/b", "/a/b/c", "/a/bx", "/a/c/d", "/b", "/b/c/d",
+             "/c/x", "/d", "/a/b/c/d"]
+    rng = random.Random(7)
+    from crystal_html5_spark.sparkjob.robots import is_allowed
+
+    for trial in range(200):
+        n = rng.randint(1, 5)
+        rules = []
+        seen = set()
+        for _ in range(n):
+            pat = rng.choice(segs)
+            al = rng.random() < 0.5
+            if pat in seen:
+                continue  # one rule per pattern: tie semantics differ
+            seen.add(pat)
+            rules.append((al, pat))
+        ordered = sorted(rules, key=lambda r: (-len(r[1]), not r[0]))
+        lines = ["User-agent: *"] + [
+            ("Allow: " if al else "Disallow: ") + pat
+            for al, pat in ordered
+        ]
+        parser = rp.RobotFileParser()
+        parser.parse(lines)
+        shuffled = rules[:]
+        rng.shuffle(shuffled)
+        txt = "\n".join(["User-agent: *"] + [
+            ("Allow: " if al else "Disallow: ") + pat
+            for al, pat in shuffled
+        ])
+        for path in paths:
+            want = parser.can_fetch("anybot", "http://h.example" + path)
+            got = is_allowed(txt, "anybot", path)
+            assert got == want, (trial, rules, path, got, want)
