@@ -1457,6 +1457,101 @@ labels AS (SELECT n AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY n),
 {_unigram_ctes('duck')},{_curation_select_sql('labels', 'duck')}"""
 
 
+# --------------- sitemap ingestion (crawl frontier) ---------------
+#
+# The other half of crawl politeness: sitemaps.org XML feeds the crawl
+# frontier.  Every host serves a deterministic sitemap (2 + h%5
+# entries with loc/lastmod/priority); the Spark side parses the XML
+# through the REAL HTML5 engine (unknown elements like <urlset>/<url>/
+# <loc> become ordinary DOM elements, the <?xml?> prolog becomes a
+# bogus comment — exactly the spec behavior) and extracts entries via
+# the CSS engine; the DuckDB oracle replays the per-host aggregates
+# straight from the generator arithmetic, never seeing XML.
+def _sitemap_xml_for_host(h: int) -> str:
+    n = 2 + h % 5
+    items = []
+    for k in range(n):
+        items.append(
+            f"<url><loc>https://host{h}.example/s/{h * 100 + k}</loc>"
+            f"<lastmod>2024-01-{1 + (h + k) % 28:02d}</lastmod>"
+            f"<priority>0.{(h + k) % 10}</priority></url>")
+    return ('<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(items) + "</urlset>")
+
+
+def _sitemap_extract(spark, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    hosts = spark.sql(
+        "SELECT DISTINCT CAST(doc_id % 97 AS INT) AS host_id"
+        " FROM documents")
+
+    def parse_maps(iterator):
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.css import compile_selector
+        from crystal_html5_spark.html5x.parser import parse
+        from crystal_html5_spark.sparkjob.queries import (
+            _sitemap_xml_for_host,
+        )
+
+        sel_url = compile_selector("url")
+        sel_loc = compile_selector("loc")
+        sel_mod = compile_selector("lastmod")
+        sel_pri = compile_selector("priority")
+        for batch in iterator:
+            hs = batch.column("host_id").to_pylist()
+            hid, n_urls, first_loc, sum_pri, max_day = [], [], [], [], []
+            for h in hs:
+                doc = parse(_sitemap_xml_for_host(h).encode())
+                locs, pris, days = [], [], []
+                for u in sel_url.select(doc):
+                    lnode = sel_loc.select(u)
+                    mnode = sel_mod.select(u)
+                    pnode = sel_pri.select(u)
+                    if not (lnode and mnode and pnode):
+                        continue
+                    locs.append(lnode[0].inner_text())
+                    pris.append(int(pnode[0].inner_text().split(".")[1]))
+                    days.append(int(mnode[0].inner_text().split("-")[2]))
+                hid.append(h)
+                n_urls.append(len(locs))
+                first_loc.append(min(locs) if locs else None)
+                sum_pri.append(sum(pris))
+                max_day.append(max(days) if days else 0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(hid, pa.int32()), pa.array(n_urls, pa.int64()),
+                 pa.array(first_loc, pa.string()),
+                 pa.array(sum_pri, pa.int64()),
+                 pa.array(max_day, pa.int64())],
+                names=["host_id", "n_urls", "first_loc",
+                       "sum_prio_decis", "max_lastmod_day"],
+            )
+
+    return hosts.mapInArrow(
+        parse_maps,
+        "host_id int, n_urls long, first_loc string,"
+        " sum_prio_decis long, max_lastmod_day long",
+    ).orderBy("host_id")
+
+
+_SITEMAP_EXTRACT_DUCK = """
+WITH hosts AS (
+  SELECT DISTINCT CAST(doc_id % 97 AS INT) AS h FROM documents
+),
+entries AS (
+  SELECT h, unnest(range(0, 2 + h % 5)) AS k FROM hosts
+)
+SELECT h AS host_id,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       MIN('https://host' || h || '.example/s/' || (h * 100 + k))
+           AS first_loc,
+       CAST(SUM((h + k) % 10) AS BIGINT) AS sum_prio_decis,
+       CAST(MAX(1 + (h + k) % 28) AS BIGINT) AS max_lastmod_day
+FROM entries GROUP BY h ORDER BY host_id
+"""
+
+
 # ----------------- robots.txt crawl gate (RFC 9309) -----------------
 #
 # Crawl-politeness verdict per url: every host serves a deterministic
@@ -3467,6 +3562,7 @@ QUERIES: dict = {
     "ann_pq_topk": _sql(_emb_pq_sql("spark", topk=10)),
     "docs_corpus_card": _sql(_DOCS_CORPUS_CARD),
     "url_robots_gate": _url_robots_gate,
+    "sitemap_extract": _sitemap_extract,
     "docs_curation_verdict": _docs_curation_verdict,
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "extract_anchor_texts": _extract_anchor_texts,
@@ -3549,6 +3645,7 @@ ORACLES: dict = {
     "ann_pq_topk": _emb_pq_sql("duck", topk=10),
     "docs_corpus_card": _DOCS_CORPUS_CARD,
     "url_robots_gate": _URL_ROBOTS_GATE_DUCK,
+    "sitemap_extract": _SITEMAP_EXTRACT_DUCK,
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "extract_anchor_texts": _extract_anchor_texts_oracle(),
