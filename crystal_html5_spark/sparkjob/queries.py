@@ -1457,6 +1457,62 @@ labels AS (SELECT n AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY n),
 {_unigram_ctes('duck')},{_curation_select_sql('labels', 'duck')}"""
 
 
+# ------------- SURT url keys (crawl-index sort order) -------------
+#
+# SURT (Sort-friendly URI Reordering Transform) is the key every
+# public crawl index (CDX/CDXJ, Wayback, Common Crawl's cc-index)
+# sorts by: reversed lowercased host labels + ')' + path, so one
+# host's captures are contiguous under a range scan.  Dual derivation:
+# Spark parses the RAW url string with its built-in parse_url
+# (JVM-side, whole-stage codegen — no UDF) after stripping userinfo;
+# the DuckDB oracle never sees a url — it replays host/path from the
+# generator's doc_id arithmetic.  Non-http(s) and relative urls key to
+# NULL in both.
+def _url_surt_spark_sql() -> str:
+    # deferred: _URL_RAW_CASE is defined further down this module
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_RAW_CASE} AS url_raw FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         CASE WHEN lower(url_raw) LIKE 'http://%'
+                OR lower(url_raw) LIKE 'https://%'
+              THEN lower(regexp_replace(
+                     parse_url(url_raw, 'HOST'), '^.*@', ''))
+              ELSE NULL END AS host,
+         parse_url(url_raw, 'PATH') AS path
+  FROM raw
+)
+SELECT doc_id,
+       CASE WHEN host IS NULL THEN NULL
+            ELSE concat_ws(',', reverse(split(host, '\\\\.'))) || ')'
+                 || path
+       END AS surt_key
+FROM parsed ORDER BY doc_id
+"""
+
+
+# Oracle: host labels are host<id%97>.example -> 'example,host<k>)',
+# paths straight from the branch arithmetic; ftp (branch 5) and
+# relative (branch 9) urls key to NULL.
+_URL_SURT_DUCK = """
+WITH base AS (
+  SELECT doc_id, doc_id % 10 AS branch, doc_id % 97 AS hid
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN branch IN (5, 9) THEN NULL
+            ELSE 'example,host' || hid || ')'
+                 || CASE branch
+                      WHEN 2 THEN '/a/b/' || doc_id
+                      ELSE '/p/' || doc_id
+                    END
+       END AS surt_key
+FROM base ORDER BY doc_id
+"""
+
+
 # --------------- sitemap ingestion (crawl frontier) ---------------
 #
 # The other half of crawl politeness: sitemaps.org XML feeds the crawl
@@ -3563,6 +3619,7 @@ QUERIES: dict = {
     "docs_corpus_card": _sql(_DOCS_CORPUS_CARD),
     "url_robots_gate": _url_robots_gate,
     "sitemap_extract": _sitemap_extract,
+    "url_surt_keys": _sql(_url_surt_spark_sql()),
     "docs_curation_verdict": _docs_curation_verdict,
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "extract_anchor_texts": _extract_anchor_texts,
@@ -3646,6 +3703,7 @@ ORACLES: dict = {
     "docs_corpus_card": _DOCS_CORPUS_CARD,
     "url_robots_gate": _URL_ROBOTS_GATE_DUCK,
     "sitemap_extract": _SITEMAP_EXTRACT_DUCK,
+    "url_surt_keys": _URL_SURT_DUCK,
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "extract_anchor_texts": _extract_anchor_texts_oracle(),
