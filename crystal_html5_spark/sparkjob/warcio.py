@@ -602,3 +602,71 @@ def write_wat_sink(meta_df, out_dir: str, gz: bool = True) -> None:
                   b"format: WAT\r\n",
                   ("url", "warc_ts", "title", "links"),
                   _wat_record, gz)
+
+
+# ------------------------------------------------------------- CDXJ
+
+def surt_key(url: str):
+    """SURT form of an http(s) url: reversed lowercased host labels,
+    comma-joined, then ')' + path (query/fragment and port dropped,
+    userinfo stripped).  None for other schemes/relative urls —
+    matching the url_surt_keys SQL derivation bit-for-bit (the test
+    cross-checks all synthetic urls against the Spark side)."""
+    i = url.find("://")
+    if i < 0 or url[:i].lower() not in ("http", "https"):
+        return None
+    rest = url[i + 3:]
+    j = len(rest)
+    for ch in "/?#":
+        k = rest.find(ch)
+        if 0 <= k < j:
+            j = k
+    auth, pathq = rest[:j], rest[j:]
+    if "@" in auth:
+        auth = auth.split("@", 1)[1]
+    host = auth.split(":", 1)[0].lower()
+    path = pathq
+    for ch in "?#":
+        k = path.find(ch)
+        if k >= 0:
+            path = path[:k]
+    return ",".join(reversed(host.split("."))) + ")" + path
+
+
+def write_cdxj(index, htmls=None) -> bytes:
+    """Serialize a write_warc_indexed record index as CDXJ text — the
+    interchange format public crawl indexes (pywb, Common Crawl's
+    cc-index) serve: one line per capture,
+    ``<surt-key> <14-digit-ts> <json>``, lines sorted by (key, ts) so
+    a host's captures answer to a binary-searchable range scan.  The
+    json carries url/offset/length and, when ``htmls`` is given
+    (parallel list), a sha1 payload digest."""
+    import hashlib
+    import json as _json
+
+    lines = []
+    for n, (url, ts, offset, length) in enumerate(index):
+        key = surt_key(url)
+        if key is None:
+            key = url  # non-web capture: raw url as key, still sorted
+        blob = {"url": url, "offset": offset, "length": length}
+        if htmls is not None:
+            blob["digest"] = "sha1:" + hashlib.sha1(
+                htmls[n] or b"").hexdigest()
+        lines.append((key, ts.strftime("%Y%m%d%H%M%S"),
+                      _json.dumps(blob, sort_keys=True)))
+    lines.sort()
+    return "".join(f"{k} {t} {j}\n" for k, t, j in lines).encode()
+
+
+def parse_cdxj(data: bytes) -> list:
+    """Parse CDXJ text -> [(surt_key, ts14, dict)] in file order."""
+    import json as _json
+
+    out = []
+    for line in data.decode().splitlines():
+        if not line.strip():
+            continue
+        key, ts14, blob = line.split(" ", 2)
+        out.append((key, ts14, _json.loads(blob)))
+    return out
