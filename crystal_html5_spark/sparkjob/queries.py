@@ -406,6 +406,26 @@ FROM documents
 ORDER BY doc_id
 """
 
+# Classifier evaluation as a query: the confusion matrix of the
+# heuristic language-id against the labeled lang column, with per-cell
+# share of the true label's row — the quality report you'd run before
+# trusting a lang filter at corpus scale.  Reuses the langid CASE via
+# subquery; one aggregation, ties nowhere.
+_DOCS_LANGID_CONFUSION = f"""
+WITH preds AS ({_DOCS_LANGID.replace("ORDER BY doc_id", "")}),
+cells AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM preds GROUP BY lang, pred_lang
+),
+rows_tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n,
+       CAST(FLOOR(1000.0 * c.n / r.t) AS BIGINT) AS row_share_millis
+FROM cells c JOIN rows_tot r ON c.lang = r.lang
+ORDER BY c.lang, c.pred_lang
+"""
+
 _DOCS_FINGERPRINT_SPARK = """
 SELECT doc_id,
        md5(regexp_replace(lower(text), '\\\\s+', ' ')) AS fp
@@ -3620,6 +3640,7 @@ QUERIES: dict = {
     "url_robots_gate": _url_robots_gate,
     "sitemap_extract": _sitemap_extract,
     "url_surt_keys": _sql(_url_surt_spark_sql()),
+    "docs_langid_confusion": _sql(_DOCS_LANGID_CONFUSION),
     "docs_curation_verdict": _docs_curation_verdict,
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "extract_anchor_texts": _extract_anchor_texts,
@@ -3704,6 +3725,7 @@ ORACLES: dict = {
     "url_robots_gate": _URL_ROBOTS_GATE_DUCK,
     "sitemap_extract": _SITEMAP_EXTRACT_DUCK,
     "url_surt_keys": _URL_SURT_DUCK,
+    "docs_langid_confusion": _DOCS_LANGID_CONFUSION,
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "extract_anchor_texts": _extract_anchor_texts_oracle(),
