@@ -354,3 +354,26 @@ def near_dup_stream(docs: DataFrame) -> DataFrame:
         fn, NEAR_DUP_PAIRS_DDL, NEAR_DUP_STATE_DDL, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_stream(events: DataFrame, profiles: DataFrame,
+                  lookback: str = "1 hour",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream time-interval join: each event enriches with the
+    profile rows its user emitted in the preceding `lookback` window —
+    the streaming form of slowly-changing-attribute enrichment.  Both
+    sides carry watermarks, and the time-range predicate is what lets
+    Spark bound BOTH join states (profile rows age out once the event
+    watermark passes pts + lookback; events age out once the profile
+    watermark passes ts).  Inner join, append semantics; the test pins
+    equality with the identical batch join."""
+    e = (events.withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", watermark).alias("e"))
+    p = (profiles.withColumn("pts", F.col("pts").cast("timestamp"))
+         .withWatermark("pts", watermark).alias("p"))
+    return e.join(
+        p,
+        F.expr("e.user_id = p.user_id AND "
+               f"p.pts BETWEEN e.ts - INTERVAL {lookback} AND e.ts"),
+        "inner",
+    ).select("e.user_id", "e.ts", "e.event_type", "p.pts", "p.tier")

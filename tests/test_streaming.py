@@ -402,3 +402,60 @@ def test_streaming_near_dups_match_batch(spark, tmp_path_factory):
              for r in spark.sql(batch_sql).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_stream_enrich_matches_batch(spark, tmp_path_factory):
+    """The stream-stream interval join must produce exactly the rows of
+    the identical batch join (events x profiles within the lookback)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crystal_html5_spark.sparkjob.streaming import enrich_stream
+
+    base = tmp_path_factory.mktemp("enrich")
+    e_dir, p_dir = base / "events", base / "profiles"
+    e_dir.mkdir()
+    p_dir.mkdir()
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    events = [(u, t0 + dt.timedelta(minutes=7 * k + u), f"ev{k}")
+              for u in range(4) for k in range(6)]
+    profiles = [(u, t0 + dt.timedelta(minutes=25 * j), f"tier{j}")
+                for u in range(4) for j in range(3)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([e[0] for e in events], pa.int64()),
+        "ts": pa.array([e[1] for e in events], pa.timestamp("us")),
+        "event_type": pa.array([e[2] for e in events], pa.string()),
+    }), e_dir / "e.parquet")
+    pq.write_table(pa.table({
+        "user_id": pa.array([p[0] for p in profiles], pa.int64()),
+        "pts": pa.array([p[1] for p in profiles], pa.timestamp("us")),
+        "tier": pa.array([p[2] for p in profiles], pa.string()),
+    }), p_dir / "p.parquet")
+
+    es = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string").parquet(str(e_dir))
+    ps = spark.readStream.schema(
+        "user_id long, pts timestamp, tier string").parquet(str(p_dir))
+    out_dir, cp = str(base / "out"), str(base / "cp")
+    q = (enrich_stream(es, ps).writeStream.format("parquet")
+         .outputMode("append").option("path", out_dir)
+         .option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    be = spark.createDataFrame(events, "user_id long, ts timestamp,"
+                               " event_type string").alias("e")
+    bp = spark.createDataFrame(profiles, "user_id long, pts timestamp,"
+                               " tier string").alias("p")
+    import pyspark.sql.functions as F
+    want = {tuple(r) for r in be.join(
+        bp, F.expr("e.user_id = p.user_id AND p.pts BETWEEN"
+                   " e.ts - INTERVAL 1 HOUR AND e.ts"), "inner")
+        .select("e.user_id", "e.ts", "e.event_type", "p.pts", "p.tier")
+        .collect()}
+    assert got == want
+    assert len(want) > 0
