@@ -1034,6 +1034,72 @@ def _extract_line_dedup_oracle() -> str:
     return _line_dedup_sql("duck", lines_src)
 
 
+# ------------------- as-of join (cogrouped pandas) -------------------
+#
+# The classic custom operator Spark's built-ins lack: for each event,
+# the LATEST profile snapshot at-or-before its timestamp.  Spark side:
+# groupBy(user).cogroup(profiles.groupBy(user)).applyInPandas with a
+# per-user pandas merge_asof — both sides arrive hash-partitioned on
+# the SAME key, so the merge is partition-local after one co-shuffle
+# (the scale shape of every as-of engine).  The DuckDB oracle is a
+# genuinely different engine feature: its native ASOF LEFT JOIN.
+# Profile snapshots derive deterministically from the events table
+# (first event per user per day -> tier (user+day)%3), so no side
+# input is needed.
+_ASOF_PROFILES_SQL = """
+SELECT user_id,
+       MIN(ts) AS pts,
+       CAST((user_id + CAST({day} AS BIGINT)) % 3 AS INT) AS tier
+FROM events
+GROUP BY user_id, {day}
+"""
+
+
+def _asof_profiles_sql(dialect: str) -> str:
+    day = ("day(ts)" if dialect == "spark" else "date_part('day', ts)")
+    return _ASOF_PROFILES_SQL.format(day=day)
+
+
+def _events_asof_tier(spark, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    events = spark.sql(
+        "SELECT event_id, user_id, ts FROM events")
+    profiles = spark.sql(_asof_profiles_sql("spark"))
+
+    def asof(key, edf: "pd.DataFrame", pdf: "pd.DataFrame"):
+        edf = edf.sort_values("ts")
+        pdf = pdf.sort_values("pts")
+        if pdf.empty:
+            out = edf.assign(tier=pd.array([None] * len(edf),
+                                           dtype="Int32"))
+            return out[["event_id", "user_id", "ts", "tier"]]
+        m = pd.merge_asof(edf, pdf[["pts", "tier"]],
+                          left_on="ts", right_on="pts",
+                          direction="backward")
+        m["tier"] = m["tier"].astype("Int32")
+        return m[["event_id", "user_id", "ts", "tier"]]
+
+    out = (
+        events.groupBy("user_id")
+        .cogroup(profiles.groupBy("user_id"))
+        .applyInPandas(
+            asof, "event_id long, user_id long, ts timestamp, tier int")
+    )
+    return out.orderBy("event_id")
+
+
+def _events_asof_tier_oracle() -> str:
+    return f"""
+WITH profiles AS ({_asof_profiles_sql('duck')})
+SELECT e.event_id, e.user_id, e.ts, CAST(p.tier AS INT) AS tier
+FROM events e ASOF LEFT JOIN profiles p
+  ON e.user_id = p.user_id AND e.ts >= p.pts
+ORDER BY e.event_id
+"""
+
+
 # ------------- event-path transition mining (lead window) -------------
 #
 # Behavioral sequence mining: consecutive event-type transitions per
@@ -3639,6 +3705,7 @@ QUERIES: dict = {
     "extract_content_blocks": _extract_content_blocks,
     "events_retention": _sql(_events_retention_sql("spark")),
     "events_path_bigrams": _sql(_EVENTS_PATH_BIGRAMS),
+    "events_asof_tier": _events_asof_tier,
     "docs_tfidf_topk": _sql(_docs_tfidf_sql("spark")),
     "url_host_skew": _sql(_URL_HOST_SKEW),
     "docs_pagerank": _docs_pagerank,
@@ -3724,6 +3791,7 @@ ORACLES: dict = {
     "extract_content_blocks": _extract_content_blocks_oracle(),
     "events_retention": _events_retention_sql("duck"),
     "events_path_bigrams": _EVENTS_PATH_BIGRAMS,
+    "events_asof_tier": _events_asof_tier_oracle(),
     "docs_tfidf_topk": _docs_tfidf_sql("duck"),
     "url_host_skew": _URL_HOST_SKEW,
     "docs_pagerank": _docs_pagerank_oracle(),
