@@ -1085,7 +1085,11 @@ def _events_asof_tier(spark, sf_dir: str) -> DataFrame:
         events.groupBy("user_id")
         .cogroup(profiles.groupBy("user_id"))
         .applyInPandas(
-            asof, "event_id long, user_id long, ts timestamp, tier int")
+            # ntz: the parquet ts is TIMESTAMP_NTZ; a plain `timestamp`
+            # here would come back tz-aware through Arrow and break the
+            # typed compare vs DuckDB's naive timestamps
+            asof,
+            "event_id long, user_id long, ts timestamp_ntz, tier int")
     )
     return out.orderBy("event_id")
 
