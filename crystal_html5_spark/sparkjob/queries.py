@@ -1034,6 +1034,84 @@ def _extract_line_dedup_oracle() -> str:
     return _line_dedup_sql("duck", lines_src)
 
 
+# ---------------- range join (bucketed point-in-interval) ----------------
+#
+# The other custom join Spark's optimizer punts on: match events to the
+# time WINDOWS containing them.  Naively `e.ts BETWEEN w.start AND
+# w.end` plans as BroadcastNestedLoopJoin — every event tested against
+# every window.  The scale shape is the bucketing trick: windows
+# explode to the day buckets they cover (18-27h windows -> 1-2
+# buckets), events key to their day, and the equi-join on the bucket plus
+# a residual BETWEEN filter touches each event a constant number of
+# times.  The plan test pins NestedLoop OUT of the plan; the DuckDB
+# oracle runs the naive theta join — different plan, same rows.
+_RANGE_N_WINDOWS = 30
+
+
+def _range_windows_exprs(dialect: str) -> tuple:
+    if dialect == "spark":
+        ws = (f"SELECT explode(sequence(0, {_RANGE_N_WINDOWS - 1}))"
+              " AS w")
+        start = ("TIMESTAMP '2024-01-01 00:00:00'"
+                 " + make_interval(0, 0, 0, w, w % 5, 0, 0)")
+        dur = "make_interval(0, 0, 0, 0, 18 + w % 10, 0, 0)"
+        days = ("explode(sequence(date_trunc('DAY', w_start),"
+                " date_trunc('DAY', w_end), interval 1 day))")
+    else:
+        ws = (f"SELECT unnest(range(0, {_RANGE_N_WINDOWS})) AS w")
+        start = ("TIMESTAMP '2024-01-01 00:00:00'"
+                 " + to_days(CAST(w AS INT))"
+                 " + to_hours(CAST(w % 5 AS INT))")
+        dur = "to_hours(CAST(18 + w % 10 AS INT))"
+        days = ("unnest(range(date_trunc('day', w_start),"
+                " date_trunc('day', w_end) + INTERVAL 1 DAY,"
+                " INTERVAL 1 DAY))")
+    return ws, start, dur, days
+
+
+def _events_range_join_sql(dialect: str) -> str:
+    ws, start, dur, days = _range_windows_exprs(dialect)
+    return f"""
+WITH wnum AS ({ws}),
+windows AS (
+  SELECT w, {start} AS w_start, {start} + {dur} AS w_end FROM wnum
+),
+wdays AS (
+  SELECT w, w_start, w_end, {days} AS bucket FROM windows
+),
+ebuck AS (
+  SELECT event_id, user_id, ts, date_trunc('day', ts) AS bucket
+  FROM events
+)
+SELECT d.w,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(MIN(e.event_id) AS BIGINT) AS first_event_id
+FROM wdays d JOIN ebuck e ON d.bucket = e.bucket
+WHERE e.ts BETWEEN d.w_start AND d.w_end
+GROUP BY d.w ORDER BY d.w
+"""
+
+
+def _events_range_join_oracle() -> str:
+    ws, start, dur, _days = _range_windows_exprs("duck")
+    # naive theta join — deliberately a different plan than the
+    # bucketed Spark side
+    return f"""
+WITH wnum AS ({ws}),
+windows AS (
+  SELECT w, {start} AS w_start, {start} + {dur} AS w_end FROM wnum
+)
+SELECT w.w,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(MIN(e.event_id) AS BIGINT) AS first_event_id
+FROM windows w JOIN events e
+  ON e.ts BETWEEN w.w_start AND w.w_end
+GROUP BY w.w ORDER BY w.w
+"""
+
+
 # ------------------- as-of join (cogrouped pandas) -------------------
 #
 # The classic custom operator Spark's built-ins lack: for each event,
@@ -3710,6 +3788,7 @@ QUERIES: dict = {
     "events_retention": _sql(_events_retention_sql("spark")),
     "events_path_bigrams": _sql(_EVENTS_PATH_BIGRAMS),
     "events_asof_tier": _events_asof_tier,
+    "events_range_join": _sql(_events_range_join_sql("spark")),
     "docs_tfidf_topk": _sql(_docs_tfidf_sql("spark")),
     "url_host_skew": _sql(_URL_HOST_SKEW),
     "docs_pagerank": _docs_pagerank,
@@ -3796,6 +3875,7 @@ ORACLES: dict = {
     "events_retention": _events_retention_sql("duck"),
     "events_path_bigrams": _EVENTS_PATH_BIGRAMS,
     "events_asof_tier": _events_asof_tier_oracle(),
+    "events_range_join": _events_range_join_oracle(),
     "docs_tfidf_topk": _docs_tfidf_sql("duck"),
     "url_host_skew": _URL_HOST_SKEW,
     "docs_pagerank": _docs_pagerank_oracle(),

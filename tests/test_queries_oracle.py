@@ -262,3 +262,13 @@ def test_shard_assign_plan_no_global_sort_before_window(spark):
     # a single-partition global window would show an Exchange
     # SinglePartition feeding the Window
     assert "SinglePartition" not in plan.split("Window")[0].splitlines()[-1]
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The bucketed point-in-interval join must not fall back to the
+    naive BroadcastNestedLoopJoin shape (every event x every window):
+    the bucket equi-join carries the work."""
+    plan = entrymod.queries()["events_range_join"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
