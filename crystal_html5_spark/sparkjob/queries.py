@@ -1083,7 +1083,7 @@ ebuck AS (
   SELECT event_id, user_id, ts, date_trunc('day', ts) AS bucket
   FROM events
 )
-SELECT d.w,
+SELECT CAST(d.w AS BIGINT) AS w,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
        CAST(MIN(e.event_id) AS BIGINT) AS first_event_id
@@ -1102,7 +1102,7 @@ WITH wnum AS ({ws}),
 windows AS (
   SELECT w, {start} AS w_start, {start} + {dur} AS w_end FROM wnum
 )
-SELECT w.w,
+SELECT CAST(w.w AS BIGINT) AS w,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
        CAST(MIN(e.event_id) AS BIGINT) AS first_event_id
