@@ -71,7 +71,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, col_a: str, col_b: str,
-                         ) -> DataFrame:
+                         stats: dict | None = None) -> DataFrame:
     """Return (node, component) for every node appearing in `edges`,
     where `component` is the minimum node id reachable from it.
 
@@ -88,7 +88,9 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
     e = _canon(
         edges.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(MAX_ROUNDS):
+        rounds += 1
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Fixpoint test: canonical edge sets are equal iff same count and
         # no row of e2 is outside e (both are distinct sets).
@@ -102,6 +104,8 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
     else:
         raise RuntimeError(
             f"connected_components did not converge in {MAX_ROUNDS} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     # At the fixpoint the edges form min-rooted stars: every canonical
     # edge (a, b) has a = component minimum.  Leaves label from their
     # edge; roots label themselves.  The min-aggregation is a safety net

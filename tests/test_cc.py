@@ -71,3 +71,20 @@ def test_random_graphs_match_union_find(spark, seed):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     assert _run(spark, edges) == _union_find(edges)
+
+
+def test_large_random_graph_converges_in_log_rounds(spark):
+    """3000 nodes / 4000 edges: results match union-find and the
+    star rounds converge in O(log n) — single digits, nowhere near
+    the diameter a label-propagation loop would need."""
+    rng = random.Random(99)
+    edges = [(rng.randrange(3000), rng.randrange(3000))
+             for _ in range(4000)]
+    edges = [(a, b) for a, b in edges if a != b]
+    from crystal_html5_spark.sparkjob.cc import connected_components
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    stats = {}
+    out = connected_components(df, "a", "b", stats=stats)
+    got = sorted((r.node, r.component) for r in out.collect())
+    assert got == _union_find(edges)
+    assert stats["rounds"] <= 10
