@@ -128,3 +128,19 @@ def test_differential_vs_stdlib_robotparser():
             want = parser.can_fetch("anybot", "http://h.example" + path)
             got = is_allowed(txt, "anybot", path)
             assert got == want, (trial, rules, path, got, want)
+
+
+def test_parser_never_raises_on_garbage():
+    """Crawl-scale inputs include broken robots.txt; the parser and
+    matcher must classify, never crash."""
+    import random
+
+    from crystal_html5_spark.sparkjob.robots import is_allowed
+
+    rng = random.Random(3)
+    alphabet = "Uu*:/ab#\n\r\t $%\x00é"
+    for _ in range(300):
+        txt = "".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 200)))
+        verdict = is_allowed(txt, "bot", "/a/b")
+        assert verdict in (True, False)
