@@ -840,6 +840,14 @@ FROM best ORDER BY doc_id
 # order-independent), so the per-doc totals hash identically on both
 # engines regardless of summation order.
 #
+# Accepted float boundary (same class as the ANN _COS_QUANT precedent):
+# the single log2 evaluation may differ by 1 ulp between JVM Math.log
+# and libm, flipping a token's millibits only when -1000*log2(c/t)+0.5
+# sits within ~1e-13 of an integer — for exact powers of two both
+# engines are exact, so only pathological near-misses qualify
+# (probability ~1e-13 per distinct token; zero observed over the
+# fixture vocabularies at every graded sf).
+#
 # Scale shape: wcnt is vocabulary-sized (Zipf: tiny vs the corpus), so
 # Catalyst/AQE broadcasts it; the 1-row total is a broadcast nested
 # loop.  The only corpus-sized shuffle is the per-doc GROUP BY.
@@ -1459,7 +1467,7 @@ FROM hashed ORDER BY doc_id
 # ----------------- Count-Min sketch (token frequencies) -----------------
 #
 # The counting sketch for corpus-scale frequency estimation (Cormode &
-# Muthukrishnan 2005): d=4 hash rows x w=256 columns of integer
+# Muthukrishnan 2005): d=4 hash rows x w=64 columns of integer
 # counters.  Unlike top-k sketches (Misra-Gries/SpaceSaving), CMS is
 # ORDER-FREE — counters are sums, so partial aggregation, shuffle
 # order and engine never change a bit, and the estimate
@@ -1613,24 +1621,9 @@ def _docs_curation_verdict(spark, sf_dir: str) -> DataFrame:
 
 
 def _docs_curation_verdict_oracle() -> str:
-    edges = _dup_edges_sql("duck").strip()
-    body = edges[len("WITH"):]
-    select_at = body.index("\nSELECT doc_a, doc_b")
-    ctes, edge_select = body[:select_at], body[select_at:].strip()
-    return f"""WITH RECURSIVE {ctes},
-eg AS ({edge_select}),
-und AS (
-  SELECT doc_a AS n, doc_b AS o FROM eg
-  UNION
-  SELECT doc_b AS n, doc_a AS o FROM eg
-),
-walk(n, lbl) AS (
-  SELECT n, n FROM und
-  UNION
-  SELECT u.n, w.lbl FROM und u JOIN walk w ON u.o = w.n
-),
+    return (_cc_walk_prefix() + f""",
 labels AS (SELECT n AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY n),
-{_unigram_ctes('duck')},{_curation_select_sql('labels', 'duck')}"""
+{_unigram_ctes('duck')},{_curation_select_sql('labels', 'duck')}""")
 
 
 # ------------- SURT url keys (crawl-index sort order) -------------
@@ -1817,38 +1810,32 @@ def _url_robots_gate(spark, sf_dir: str) -> DataFrame:
         import pyarrow as pa
 
         from crystal_html5_spark.sparkjob.queries import _ROBOTS_TEMPLATES
-        from crystal_html5_spark.sparkjob.robots import is_allowed
+        from crystal_html5_spark.sparkjob.robots import (
+            allowed,
+            parse_robots,
+            rules_for,
+        )
+        from crystal_html5_spark.sparkjob.warcio import split_http_url
 
         host_rx = _re.compile(r"host(\d+)\.example$")
+        # parse the 5 fixed templates ONCE per task, not once per url
+        # (review finding: per-row parse_robots was pure hot-path waste)
+        rules = [rules_for(parse_robots(t), "sparkbot")
+                 for t in _ROBOTS_TEMPLATES]
 
         def judge(url):
-            i = url.find("://")
-            if i < 0:
+            parts = split_http_url(url)
+            if parts is None:
                 return (-1, -1, 0)
-            if url[:i].lower() not in ("http", "https"):
-                return (-1, -1, 0)
-            rest = url[i + 3:]
-            j = len(rest)
-            for ch in "/?#":
-                k = rest.find(ch)
-                if 0 <= k < j:
-                    j = k
-            auth, pathq = rest[:j], rest[j:]
-            if "@" in auth:
-                auth = auth.split("@", 1)[1]
-            host = auth.split(":", 1)[0].lower()
-            h = pathq.find("#")
-            if h >= 0:
-                pathq = pathq[:h]
+            host, pathq = parts
             if not pathq:
                 pathq = "/"
             m = host_rx.match(host)
             if not m:
                 return (-1, -1, 0)
             hid = int(m.group(1))
-            txt = _ROBOTS_TEMPLATES[hid % len(_ROBOTS_TEMPLATES)]
-            return (hid, hid % len(_ROBOTS_TEMPLATES),
-                    1 if is_allowed(txt, "sparkbot", pathq) else 0)
+            tid = hid % len(_ROBOTS_TEMPLATES)
+            return (hid, tid, 1 if allowed(rules[tid], pathq) else 0)
 
         for batch in iterator:
             ids = batch.column("doc_id").to_pylist()
@@ -2377,13 +2364,14 @@ def _docs_dup_clusters(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def _docs_dup_clusters_oracle() -> str:
-    """DuckDB oracle: min-label reachability via WITH RECURSIVE — a
-    genuinely different algorithm (transitive closure with set-dedup)
-    computing the same components."""
+def _cc_walk_prefix() -> str:
+    """Shared front half of every recursive-CC DuckDB oracle: the
+    minhash/pairs/verify CTE chain folded into WITH RECURSIVE, plus the
+    undirected edge view and the min-label reachability walk.  ONE
+    definition (review finding: the string surgery was duplicated in
+    the dup-clusters and curation oracles).  DuckDB permits
+    non-recursive CTEs inside WITH RECURSIVE."""
     edges = _dup_edges_sql("duck").strip()
-    # Fold the edge query into one recursive CTE chain.  DuckDB permits
-    # non-recursive CTEs inside WITH RECURSIVE.
     body = edges[len("WITH"):]  # strip leading WITH, keep the CTE list
     select_at = body.index("\nSELECT doc_a, doc_b")
     ctes, edge_select = body[:select_at], body[select_at:].strip()
@@ -2398,7 +2386,14 @@ walk(n, lbl) AS (
   SELECT n, n FROM und
   UNION
   SELECT u.n, w.lbl FROM und u JOIN walk w ON u.o = w.n
-)
+)"""
+
+
+def _docs_dup_clusters_oracle() -> str:
+    """DuckDB oracle: min-label reachability via WITH RECURSIVE — a
+    genuinely different algorithm (transitive closure with set-dedup)
+    computing the same components."""
+    return _cc_walk_prefix() + """
 SELECT n AS doc_id, MIN(lbl) AS cluster_id,
        CAST(CASE WHEN n = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
 FROM walk GROUP BY n ORDER BY doc_id

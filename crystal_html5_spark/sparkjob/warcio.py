@@ -523,17 +523,25 @@ def stream_warc_pages(spark, warc_dir: str,
 
 
 def _segment_sink(df, out_dir: str, ext: str, warcinfo: bytes,
-                  cols: tuple, make_record, gz: bool) -> None:
-    """Shared distributed segment sink (WET and WAT write sides): each
-    partition of ``df`` becomes one segment file of ``make_record``
-    records in the corpus-native thousands-of-segments layout.
+                  cols: tuple, make_record, gz: bool,
+                  index_fn=None, sidecar=None) -> None:
+    """Shared distributed segment sink (WET, WAT and indexed-WARC write
+    sides): each partition of ``df`` becomes one segment file of
+    ``make_record`` records in the corpus-native thousands-of-segments
+    layout.
 
     Streaming by construction: rows arrive as Arrow batches (mapInArrow,
     no per-row pickling) and each record is serialized and written to
     the segment file as it is consumed — peak memory is one Arrow batch
     plus one record, never the partition.  Idempotent per task via
     deterministic segment names + atomic rename; triggered with a
-    row-free ``noop`` write so no data returns to the driver."""
+    row-free ``noop`` write so no data returns to the driver.
+
+    ``index_fn(row_vals, offset, length)`` (optional) produces one
+    small index entry per record as it is written — entries, never
+    payloads, accumulate — and ``sidecar(final_path, entries)`` writes
+    the per-segment index file; the segment renames into place FIRST so
+    a reader that sees the sidecar can always range-read its segment."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -547,6 +555,7 @@ def _segment_sink(df, out_dir: str, ext: str, warcinfo: bytes,
         f = None
         tmp = final = None
         wrote = 0
+        entries = []
         for batch in iterator:
             vals = [batch.column(c) for c in cols]
             for i in range(batch.num_rows):
@@ -556,12 +565,17 @@ def _segment_sink(df, out_dir: str, ext: str, warcinfo: bytes,
                     tmp = final + ".tmp"
                     f = open(tmp, "wb")
                     f.write(_member(_warcinfo_record(warcinfo), gz))
-                rec = make_record(*(v[i].as_py() for v in vals))
-                f.write(_member(rec, gz))
+                row = tuple(v[i].as_py() for v in vals)
+                rec = _member(make_record(*row), gz)
+                if index_fn is not None:
+                    entries.append(index_fn(row, f.tell(), len(rec)))
+                f.write(rec)
                 wrote += 1
         if f is not None:
             f.close()
             _os.replace(tmp, final)  # atomic: re-run overwrites cleanly
+            if sidecar is not None:
+                sidecar(final, entries)
         yield pa.RecordBatch.from_arrays(
             [pa.array([wrote], pa.int64())], names=["n"])
 
@@ -606,12 +620,12 @@ def write_wat_sink(meta_df, out_dir: str, gz: bool = True) -> None:
 
 # ------------------------------------------------------------- CDXJ
 
-def surt_key(url: str):
-    """SURT form of an http(s) url: reversed lowercased host labels,
-    comma-joined, then ')' + path (query/fragment and port dropped,
-    userinfo stripped).  None for other schemes/relative urls —
-    matching the url_surt_keys SQL derivation bit-for-bit (the test
-    cross-checks all synthetic urls against the Spark side)."""
+def split_http_url(url: str):
+    """(host, path+query) of an http(s) url — lowercased host with
+    userinfo and port stripped, fragment removed — or None for other
+    schemes/relative urls.  ONE implementation shared by surt_key and
+    the robots crawl gate (review finding: two verbatim copies of this
+    parse loop would silently diverge on the next fix)."""
     i = url.find("://")
     if i < 0 or url[:i].lower() not in ("http", "https"):
         return None
@@ -625,22 +639,39 @@ def surt_key(url: str):
     if "@" in auth:
         auth = auth.split("@", 1)[1]
     host = auth.split(":", 1)[0].lower()
+    h = pathq.find("#")
+    if h >= 0:
+        pathq = pathq[:h]
+    return host, pathq
+
+
+def surt_key(url: str):
+    """SURT form of an http(s) url: reversed lowercased host labels,
+    comma-joined, then ')' + path (query/fragment and port dropped,
+    userinfo stripped).  None for other schemes/relative urls —
+    matching the url_surt_keys SQL derivation bit-for-bit (the test
+    cross-checks all synthetic urls against the Spark side)."""
+    parts = split_http_url(url)
+    if parts is None:
+        return None
+    host, pathq = parts
     path = pathq
-    for ch in "?#":
-        k = path.find(ch)
-        if k >= 0:
-            path = path[:k]
+    k = path.find("?")
+    if k >= 0:
+        path = path[:k]
     return ",".join(reversed(host.split("."))) + ")" + path
 
 
-def write_cdxj(index, htmls=None) -> bytes:
+def write_cdxj(index, htmls=None, digests=None) -> bytes:
     """Serialize a write_warc_indexed record index as CDXJ text — the
     interchange format public crawl indexes (pywb, Common Crawl's
     cc-index) serve: one line per capture,
     ``<surt-key> <14-digit-ts> <json>``, lines sorted by (key, ts) so
     a host's captures answer to a binary-searchable range scan.  The
-    json carries url/offset/length and, when ``htmls`` is given
-    (parallel list), a sha1 payload digest."""
+    json carries url/offset/length and a sha1 payload digest when
+    either ``htmls`` (parallel payload list, hashed here) or
+    ``digests`` (parallel pre-computed digest strings — the streaming
+    sink path, which must NOT retain payloads) is given."""
     import hashlib
     import json as _json
 
@@ -650,7 +681,9 @@ def write_cdxj(index, htmls=None) -> bytes:
         if key is None:
             key = url  # non-web capture: raw url as key, still sorted
         blob = {"url": url, "offset": offset, "length": length}
-        if htmls is not None:
+        if digests is not None:
+            blob["digest"] = digests[n]
+        elif htmls is not None:
             blob["digest"] = "sha1:" + hashlib.sha1(
                 htmls[n] or b"").hexdigest()
         lines.append((key, ts.strftime("%Y%m%d%H%M%S"),
@@ -676,56 +709,37 @@ def write_warc_sink_indexed(pages, out_dir: str, gz: bool = True) -> None:
     """Distributed WARC sink WITH per-segment CDXJ sidecars — the full
     shipping layout of a crawl corpus: each partition of a
     (url, warc_ts, html) frame streams to one part-NNNNN.warc(.gz)
-    segment (records written as Arrow batches are consumed, peak memory
-    one batch + one record) while the running (offset, length) index
-    accumulates as tuples — bytes never buffer.  On close the sidecar
-    part-NNNNN.cdxj is written SORTED by (surt, ts) and both files
-    rename atomically, segment first, so a reader that sees a .cdxj
-    can always range-read its segment.  Idempotent per task via
-    deterministic names; row-free noop trigger."""
-    import os
+    segment through the shared _segment_sink body (records written as
+    Arrow batches are consumed, peak memory one batch + one record).
+    Only small index entries — (url, ts, offset, length, sha1-digest
+    string) — accumulate per segment, NEVER payloads (review finding:
+    the first version retained every html for digesting at close, the
+    exact partition-sized buffer the sink exists to avoid).  The sorted
+    .cdxj sidecar writes after the segment renames into place, so a
+    reader that sees a sidecar can always range-read its segment.
+    NULL html (a failed fetch) is written as an empty payload instead
+    of crashing the task."""
+    import hashlib
 
-    os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if gz else ".warc"
+    def make_record(url, ts, html):
+        return _response_record(url, ts, html or b"")
 
-    def emit(iterator):
+    def index_fn(row, offset, length):
+        url, ts, html = row
+        digest = "sha1:" + hashlib.sha1(html or b"").hexdigest()
+        return (url, ts, offset, length, digest)
+
+    def sidecar(final, entries):
+        cdxj = write_cdxj([e[:4] for e in entries],
+                          digests=[e[4] for e in entries])
+        tmp = final + ".cdxj.tmp"
+        with open(tmp, "wb") as cf:
+            cf.write(cdxj)
         import os as _os
 
-        import pyarrow as pa
-        from pyspark import TaskContext
+        _os.replace(tmp, final + ".cdxj")
 
-        f = None
-        tmp = final = None
-        index = []
-        htmls_digest = []
-        for batch in iterator:
-            urls = batch.column("url")
-            tss = batch.column("warc_ts")
-            htmls = batch.column("html")
-            for i in range(batch.num_rows):
-                if f is None:
-                    pid = TaskContext.get().partitionId()
-                    final = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
-                    tmp = final + ".tmp"
-                    f = open(tmp, "wb")
-                    f.write(_member(_warcinfo_record(
-                        b"software: spark-graft\r\n"), gz))
-                url, ts, html = (urls[i].as_py(), tss[i].as_py(),
-                                 htmls[i].as_py())
-                rec = _member(_response_record(url, ts, html), gz)
-                index.append((url, ts, f.tell(), len(rec)))
-                htmls_digest.append(html)
-                f.write(rec)
-        if f is not None:
-            f.close()
-            cdxj = write_cdxj(index, htmls=htmls_digest)
-            with open(final + ".cdxj.tmp", "wb") as cf:
-                cf.write(cdxj)
-            _os.replace(tmp, final)
-            _os.replace(final + ".cdxj.tmp", final + ".cdxj")
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([len(index)], pa.int64())], names=["n"])
-
-    (pages.select("url", "warc_ts", "html")
-        .mapInArrow(emit, "n bigint")
-        .write.mode("overwrite").format("noop").save())
+    _segment_sink(pages, out_dir, ".warc.gz" if gz else ".warc",
+                  b"software: spark-graft\r\n",
+                  ("url", "warc_ts", "html"), make_record, gz,
+                  index_fn=index_fn, sidecar=sidecar)

@@ -259,9 +259,12 @@ def test_shard_assign_plan_no_global_sort_before_window(spark):
     plan = entrymod.queries()["docs_shard_assign"](spark, SF_DIR) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
-    # a single-partition global window would show an Exchange
-    # SinglePartition feeding the Window
-    assert "SinglePartition" not in plan.split("Window")[0].splitlines()[-1]
+    # a global window's Exchange SinglePartition prints BELOW the
+    # Window node; the final ORDER BY plans as rangepartitioning, so
+    # NO SinglePartition may appear anywhere in this plan (review
+    # finding: the first version inspected the text above the Window,
+    # which can never contain the child exchange — vacuous)
+    assert "SinglePartition" not in plan
 
 
 def test_range_join_plan_has_no_nested_loop(spark):
