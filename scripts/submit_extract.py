@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--wet-out", default=None,
                     help="also emit extracted text as .warc.wet.gz"
                          " segments (one per partition) to this dir")
+    ap.add_argument("--warc-out", default=None,
+                    help="also re-emit the input captures as indexed"
+                         " .warc.gz segments with sorted CDXJ sidecars"
+                         " (range-readable archive layout) to this dir")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("html5x-extract").getOrCreate()
@@ -89,6 +93,19 @@ def main() -> None:
         full = tableio.read_table(spark, src).filter(F.col("err") == "")
         shutil.rmtree(args.wet_out, ignore_errors=True)
         write_wet_sink(full, args.wet_out, gz=True)
+    if args.warc_out:
+        import shutil
+
+        from crystal_html5_spark.sparkjob.warcio import (
+            write_warc_sink_indexed,
+        )
+
+        # every capture (no dedup): an archive keeps all of them and
+        # the CDXJ sidecars disambiguate by timestamp
+        shutil.rmtree(args.warc_out, ignore_errors=True)
+        write_warc_sink_indexed(
+            pages.select("url", "warc_ts", "html"), args.warc_out,
+            gz=True)
     done = tableio.read_done_keys(spark, args.out)
     n = done.count() if done is not None else 0
     print(f"extracted_total={n}")
