@@ -763,6 +763,81 @@ FROM perdoc ORDER BY doc_id
 """
 
 
+# ---------------- Unicode NFC normalization (dual engine) ----------------
+#
+# Web text arrives in mixed normalization forms (combining sequences vs
+# precomposed — 'e'+U+0301 vs 'é'), and every dedup/hash upstream of it
+# silently misses equal strings unless the corpus is NFC-normalized
+# first.  Test material is SYNTHESIZED IN SQL from doc_id (chr() in
+# both engines): decomposed latin (e + combining acute), already-
+# composed é, Hangul jamo (NFC composes to a syllable), and plain
+# ASCII, mixed per doc.  The Spark side normalizes with Python's
+# unicodedata (Arrow-batched pandas UDF — the honest path, Spark has
+# no NFC builtin); the DuckDB oracle uses its independent built-in
+# nfc_normalize.  Two unrelated Unicode implementations must agree on
+# every byte (md5 of the result rides in the output).
+def _nfc_source_sql(dialect: str) -> str:
+    # The non-ASCII material is embedded as UTF-8 string LITERALS in
+    # the SQL text (identical bytes reach both parsers) — Spark's
+    # chr() is ASCII-mod-256 and cannot build these codepoints.
+    # Codepoints chosen so NFC changes length for half the rows:
+    # U+0301 combining acute after 'e'; U+1100/U+1161 Hangul jamo L/V
+    # (compose to U+AC00); precomposed U+00E9 stays as-is.
+    decomposed = "caf\u0065\u0301_"   # e + combining acute
+    composed = "caf\u00e9_"          # precomposed \u00e9
+    jamo = "\u1100\u1161_"           # jamo pair -> U+AC00 under NFC
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN '{decomposed}' || doc_id
+         WHEN 1 THEN '{composed}' || doc_id
+         WHEN 2 THEN '{jamo}' || doc_id
+         ELSE 'ascii_' || doc_id
+       END AS raw_text
+FROM documents
+"""
+
+
+def _text_nfc_normalize(spark, sf_dir: str) -> DataFrame:
+    import pandas  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    load_views(spark, sf_dir)
+    src = spark.sql(_nfc_source_sql("spark"))
+
+    def _nfc_map(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    _nfc_map.__annotations__ = {"s": pandas.Series,
+                                "return": pandas.Series}
+    nfc = pandas_udf(_nfc_map, "string")
+
+    out = src.select(
+        "doc_id",
+        F.length("raw_text").alias("raw_chars"),
+        nfc(F.col("raw_text")).alias("norm"),
+    )
+    return out.select(
+        "doc_id", "raw_chars",
+        F.length("norm").alias("nfc_chars"),
+        F.md5(F.col("norm").cast("binary")).alias("nfc_md5"),
+    ).orderBy("doc_id")
+
+
+def _text_nfc_normalize_oracle() -> str:
+    return f"""
+WITH src AS ({_nfc_source_sql('duck')}),
+n AS (SELECT doc_id, raw_text, nfc_normalize(raw_text) AS norm FROM src)
+SELECT doc_id,
+       CAST(length(raw_text) AS INT) AS raw_chars,
+       CAST(length(norm) AS INT) AS nfc_chars,
+       md5(norm) AS nfc_md5
+FROM n ORDER BY doc_id
+"""
+
+
 # ------------- duplicated-span extraction (gaps & islands) -------------
 #
 # The span-level form of substring dedup: Lee et al. REMOVE the
@@ -3794,6 +3869,7 @@ QUERIES: dict = {
     "sitemap_extract": _sitemap_extract,
     "url_surt_keys": _sql(_url_surt_spark_sql()),
     "docs_langid_confusion": _sql(_DOCS_LANGID_CONFUSION),
+    "text_nfc_normalize": _text_nfc_normalize,
     "docs_curation_verdict": _docs_curation_verdict,
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "extract_anchor_texts": _extract_anchor_texts,
@@ -3881,6 +3957,7 @@ ORACLES: dict = {
     "sitemap_extract": _SITEMAP_EXTRACT_DUCK,
     "url_surt_keys": _URL_SURT_DUCK,
     "docs_langid_confusion": _DOCS_LANGID_CONFUSION,
+    "text_nfc_normalize": _text_nfc_normalize_oracle(),
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "extract_anchor_texts": _extract_anchor_texts_oracle(),
