@@ -3,44 +3,58 @@
 The 100 TB dedup concern batch queries don't cover: a crawl arrives in
 monthly snapshots, and re-minhashing the whole corpus per snapshot is
 O(corpus) when the new slice is O(snapshot).  This module maintains a
-persistent LSH band index (parquet: doc_id, band_no, band_key) and, per
-ingest:
+persistent LSH band index (parquet deltas of (doc_id, band_no,
+band_key)) and, per ingest:
 
 1. anti-joins the incoming docs against the index's doc_ids (only NEW
-   docs are shingled/hashed — the expensive part scales with the delta),
-2. appends the new docs' bands atomically (write-beside + rename, so a
-   crashed ingest never leaves a half-indexed snapshot), and
-3. reports the near-dup candidate pairs the new docs created — both
-   new-vs-existing and new-vs-new — via one band equi-join against the
-   updated index.
+   docs are shingled/hashed — the expensive part scales with the
+   delta).  Docs too short to band still get a sentinel row
+   (band_no = -1) so they are indexed as SEEN and never re-hashed,
+2. computes and MATERIALIZES the new candidate pairs — new-vs-existing
+   and new-vs-new — via a bucket-pruned join (the stored index only
+   probes buckets a new doc touched),
+3. then, as the LAST step, commits the delta atomically (write-beside
+   + rename).  Ordering matters: a crash anywhere before the commit
+   leaves the index unchanged, so a replayed ingest recomputes and
+   re-reports the same pairs (at-least-once) — committing first would
+   make the replay an anti-join no-op and silently LOSE the
+   snapshot's pairs (review-round-2 finding).
 
-The equivalence test pins: ingesting a corpus in two halves yields
-byte-identical index content AND the union of reported pairs equals the
-batch `docs_near_dup_pairs` on the full corpus.
+Delta directories are named by a content key (md5 of the sorted new
+doc_ids), so a replayed ingest overwrites its own identical delta and
+concurrent ingests of different snapshots can never clobber each
+other — a count-based stamp could reuse a live name.
 
-Band derivation is the SQL minhash family's (queries._mh_prefix), so
-index entries are bit-compatible with every batch query.
+The equivalence test pins: ingesting a corpus in two halves reports,
+across ingests, exactly the batch `docs_near_dup_pairs` pair set, with
+no pair reported twice; index band content is bit-compatible with the
+batch derivation; replaying a snapshot is a no-op.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import io as tableio
 from .queries import _mh_prefix
 
 _INDEX_SUB = "bands"
+_VIEW = "dedup_index_input"
 
 
 def _bands_for(spark, docs: DataFrame) -> DataFrame:
     """(doc_id, band_no, band_key) for a docs(doc_id, text) frame via
-    the exact SQL derivation the batch queries use."""
-    docs.createOrReplaceTempView("documents")
-    return spark.sql(
-        _mh_prefix("spark", with_bands=True)
-        + " SELECT doc_id, band_no, band_key FROM bands")
+    the exact SQL derivation the batch queries use, through a DEDICATED
+    temp view (registering over 'documents' would silently clobber a
+    session's corpus view — review-round-2 finding)."""
+    docs.createOrReplaceTempView(_VIEW)
+    sql = (_mh_prefix("spark", with_bands=True)
+           + " SELECT doc_id, band_no, band_key FROM bands")
+    return spark.sql(sql.replace("FROM documents", f"FROM {_VIEW}"))
 
 
 def index_path(index_dir: str) -> str:
@@ -48,49 +62,42 @@ def index_path(index_dir: str) -> str:
 
 
 def ingest(spark, docs: DataFrame, index_dir: str) -> DataFrame:
-    """Ingest a snapshot: index only docs not yet present, append their
-    bands, and return the candidate pairs (doc_a < doc_b, n_bands_agree)
-    that involve at least one newly ingested doc."""
-    import glob as _glob
-
+    """Ingest a snapshot: index docs not yet present, report the
+    candidate pairs (doc_a < doc_b, n_bands_agree) involving at least
+    one newly ingested doc, commit the index delta last."""
     path = index_path(index_dir)
-    exists = bool(_glob.glob(os.path.join(path, "delta-*")))
+    deltas = os.path.join(path, "delta-*")
+    exists = bool(glob.glob(deltas))
     if exists:
-        existing = spark.read.parquet(os.path.join(path, "delta-*"))
+        existing = spark.read.parquet(deltas)
         new_docs = docs.join(
             existing.select("doc_id").distinct(), "doc_id", "left_anti")
     else:
-        new_docs = docs
-    new_bands = _bands_for(spark, new_docs).localCheckpoint(eager=True)
+        existing = None
+        new_docs = docs.localCheckpoint(eager=True)
+    banded = _bands_for(spark, new_docs)
+    # sentinel rows mark short/empty docs (no bands) as SEEN, so later
+    # ingests' anti-join excludes them instead of re-hashing them on
+    # every snapshot forever
+    sentinels = new_docs.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("band_no"),
+        F.lit("").alias("band_key"),
+    ).join(banded.select("doc_id").distinct(), "doc_id", "left_anti")
+    new_bands = banded.union(sentinels).localCheckpoint(eager=True)
     if new_bands.isEmpty():
-        # nothing new (e.g. a replayed snapshot): the index is already
-        # complete and no new pair can exist — write nothing (an empty
-        # parquet delta would be schema-less and break dataset reads)
         return spark.createDataFrame(
             [], "doc_a long, doc_b long, n_bands_agree bigint")
 
-    # atomic append: write the delta beside, then move it into the
-    # dataset directory (parquet datasets are directories of files; a
-    # crashed ingest leaves only a .tmp dir the next run overwrites)
-    tmp = path + ".delta.tmp"
-    new_bands.write.mode("overwrite").parquet(tmp)
-    os.makedirs(path, exist_ok=True)
-    import glob
-    import shutil
-
-    stamp = len(glob.glob(os.path.join(path, "delta-*")))
-    dest = os.path.join(path, f"delta-{stamp:05d}")
-    if os.path.exists(dest):
-        shutil.rmtree(dest)
-    os.replace(tmp, dest)
-
-    full = spark.read.parquet(os.path.join(path, "delta-*"))
-    new_keys = new_bands.select("band_no", "band_key").distinct()
+    real_new = new_bands.filter(F.col("band_no") >= 0)
+    full = (existing.union(new_bands) if existing is not None
+            else new_bands).filter(F.col("band_no") >= 0)
+    new_keys = real_new.select("band_no", "band_key").distinct()
     # only buckets a NEW doc touched can produce new pairs: prune the
     # full index to those buckets before the self-join (delta-sized
-    # probe, not corpus-sized)
-    touched = full.join(
-        F.broadcast(new_keys), ["band_no", "band_key"])
+    # probe; no broadcast hint — AQE picks the strategy, a forced
+    # broadcast of a snapshot-sized key set would OOM at real scale)
+    touched = full.join(new_keys, ["band_no", "band_key"])
     pairs = (
         touched.alias("a")
         .join(touched.alias("b"),
@@ -101,17 +108,39 @@ def ingest(spark, docs: DataFrame, index_dir: str) -> DataFrame:
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands_agree"))
     )
-    # keep only pairs involving a new doc (old-old pairs in a touched
-    # bucket were already reported by the ingest that created them)
     nd = new_bands.select("doc_id").distinct()
     cols = ["doc_a", "doc_b", "n_bands_agree"]
     # semi-joining on a key moves it to the front of the output — fix
     # the column order explicitly before the positional union
-    return (
+    report = (
         pairs.join(nd.withColumnRenamed("doc_id", "doc_a"),
                    "doc_a", "left_semi").select(*cols)
         .union(
             pairs.join(nd.withColumnRenamed("doc_id", "doc_b"),
                        "doc_b", "left_semi").select(*cols))
         .distinct()
+        .localCheckpoint(eager=True)  # materialize BEFORE the commit
     )
+
+    # commit: content-keyed name (same snapshot -> same delta, replay
+    # overwrites itself; different snapshots can never collide).  The
+    # key is an ORDER-FREE distributed aggregate (sum of per-doc md5
+    # ints + count) — collecting the id list would pull a
+    # snapshot-sized array to the driver
+    krow = (new_bands.select("doc_id").distinct()
+            .select(
+                F.sum(F.expr(
+                    "CAST(conv(substr(md5(CAST(doc_id AS STRING)),"
+                    " 1, 14), 16, 10) AS BIGINT)")).alias("h"),
+                F.count("*").alias("n"))
+            .collect()[0])
+    key = hashlib.md5(
+        f"{krow['n']}:{krow['h']}".encode()).hexdigest()[:12]
+    tmp = path + f".delta-{key}.tmp"
+    new_bands.write.mode("overwrite").parquet(tmp)
+    os.makedirs(path, exist_ok=True)
+    dest = os.path.join(path, f"delta-{key}")
+    if os.path.exists(dest):
+        shutil.rmtree(dest)  # same content key == same content
+    os.replace(tmp, dest)
+    return report

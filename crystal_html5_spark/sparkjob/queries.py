@@ -776,7 +776,7 @@ FROM perdoc ORDER BY doc_id
 # no NFC builtin); the DuckDB oracle uses its independent built-in
 # nfc_normalize.  Two unrelated Unicode implementations must agree on
 # every byte (md5 of the result rides in the output).
-def _nfc_source_sql(dialect: str) -> str:
+def _nfc_source_sql() -> str:
     # The non-ASCII material is embedded as UTF-8 string LITERALS in
     # the SQL text (identical bytes reach both parsers) — Spark's
     # chr() is ASCII-mod-256 and cannot build these codepoints.
@@ -799,17 +799,21 @@ FROM documents
 
 
 def _text_nfc_normalize(spark, sf_dir: str) -> DataFrame:
-    import pandas  # noqa: F401 — resolves the UDF's type hints
+    import pandas
     from pyspark.sql.functions import pandas_udf
 
     load_views(spark, sf_dir)
-    src = spark.sql(_nfc_source_sql("spark"))
+    src = spark.sql(_nfc_source_sql())
 
     def _nfc_map(s):
         import unicodedata
 
         return s.map(lambda x: unicodedata.normalize("NFC", x))
 
+    # assigned post-hoc: this module uses `from __future__ import
+    # annotations`, which stringifies inline hints; pyspark resolves
+    # them against module globals where the function-local pandas
+    # import is invisible — real type objects sidestep that
     _nfc_map.__annotations__ = {"s": pandas.Series,
                                 "return": pandas.Series}
     nfc = pandas_udf(_nfc_map, "string")
@@ -828,7 +832,7 @@ def _text_nfc_normalize(spark, sf_dir: str) -> DataFrame:
 
 def _text_nfc_normalize_oracle() -> str:
     return f"""
-WITH src AS ({_nfc_source_sql('duck')}),
+WITH src AS ({_nfc_source_sql()}),
 n AS (SELECT doc_id, raw_text, nfc_normalize(raw_text) AS norm FROM src)
 SELECT doc_id,
        CAST(length(raw_text) AS INT) AS raw_chars,

@@ -24,9 +24,14 @@ def spark():
 
 
 def test_two_snapshot_ingest_matches_batch(spark, tmp_path):
-    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+    corpus = spark.read.parquet(f"{SF}/documents.parquet") \
         .select("doc_id", "text")
-    half = docs.count() // 2
+    # a too-short doc (no bands) exercises the sentinel path: it must
+    # be indexed as SEEN, not re-hashed on every later ingest
+    short = spark.createDataFrame([(999_999, "one two")],
+                                  "doc_id long, text string")
+    docs = corpus.union(short)
+    half = corpus.count() // 2
     first = docs.filter(f"doc_id < {half}")
     idx = str(tmp_path / "index")
 
@@ -44,13 +49,18 @@ def test_two_snapshot_ingest_matches_batch(spark, tmp_path):
              for r in spark.sql(_docs_near_dup_pairs_sql("spark"))
              .collect()}
     assert p1 | p2 == batch
-    assert p1.isdisjoint(p2) or all(x in batch for x in p1 & p2)
+    # no pair may be reported by BOTH ingests (re-reporting snapshot-1
+    # pairs during snapshot-2 would double-count downstream)
+    assert p1.isdisjoint(p2)
 
     # index contents == batch band derivation over the full corpus
     import os
 
-    got = spark.read.parquet(os.path.join(index_path(idx), "delta-*"))
-    docs.createOrReplaceTempView("documents")
+    got_all = spark.read.parquet(os.path.join(index_path(idx), "delta-*"))
+    # the short doc is indexed via its sentinel row (band_no = -1)
+    assert got_all.filter("doc_id = 999999 AND band_no = -1").count() == 1
+    got = got_all.filter("band_no >= 0")
+    corpus.createOrReplaceTempView("documents")
     from crystal_html5_spark.sparkjob.queries import _mh_prefix
     want = spark.sql(_mh_prefix("spark", with_bands=True)
                      + " SELECT doc_id, band_no, band_key FROM bands")
