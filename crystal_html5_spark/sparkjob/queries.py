@@ -763,6 +763,69 @@ FROM perdoc ORDER BY doc_id
 """
 
 
+# -------------- selector-driven extraction (custom policy) --------------
+#
+# The north_star's configurable boilerplate policy as a driver query:
+# extraction under a CSS drop selector (the default boilerplate set
+# PLUS h2 headings — deliberately different output than the production
+# tag-set path, so the frozen oracle distinguishes the two).  Any
+# selector the engine supports works (.sidebar, [role=banner], ...);
+# per-url sha256 of the selector-stripped text makes one wrong node
+# classification anywhere fail the hash.
+_SELECTOR_POLICY = ("script, style, template, nav, header, footer,"
+                    " aside, form, noscript, iframe, h2")
+
+
+def _extract_selector_pages(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    latest = (
+        pages.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1").select("url", "html")
+    )
+
+    def extract(iterator):
+        import hashlib
+
+        import pyarrow as pa
+
+        from crystal_html5_spark.html5x.extract import main_text_selector
+        from crystal_html5_spark.html5x.parser import parse
+
+        for batch in iterator:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            sha, ln = [], []
+            for h in htmls:
+                try:
+                    mt = main_text_selector(parse(h or b""),
+                                            _SELECTOR_POLICY)
+                except Exception:  # noqa: BLE001
+                    mt = ""
+                sha.append(hashlib.sha256(
+                    mt.encode("utf-8", "surrogateescape")).hexdigest())
+                ln.append(len(mt))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(sha, pa.string()),
+                 pa.array(ln, pa.int64())],
+                names=["url", "sel_sha256", "sel_len"],
+            )
+
+    return latest.mapInArrow(
+        extract, "url string, sel_sha256 string, sel_len long"
+    ).orderBy("url")
+
+
+def _extract_selector_pages_oracle() -> str:
+    return (
+        "SELECT url, sel_sha256, sel_len FROM read_parquet('"
+        f"{_EXPECTED_DIR / f'extract_selector_{_FIXED_PAGES_N}.parquet'}')"
+        " ORDER BY url"
+    )
+
+
 # ---------------- Unicode NFC normalization (dual engine) ----------------
 #
 # Web text arrives in mixed normalization forms (combining sequences vs
@@ -3874,6 +3937,7 @@ QUERIES: dict = {
     "url_surt_keys": _sql(_url_surt_spark_sql()),
     "docs_langid_confusion": _sql(_DOCS_LANGID_CONFUSION),
     "text_nfc_normalize": _text_nfc_normalize,
+    "extract_selector_pages": _extract_selector_pages,
     "docs_curation_verdict": _docs_curation_verdict,
     "docs_length_quantiles": _sql(_DOCS_LENGTH_QUANTILES),
     "extract_anchor_texts": _extract_anchor_texts,
@@ -3962,6 +4026,7 @@ ORACLES: dict = {
     "url_surt_keys": _URL_SURT_DUCK,
     "docs_langid_confusion": _DOCS_LANGID_CONFUSION,
     "text_nfc_normalize": _text_nfc_normalize_oracle(),
+    "extract_selector_pages": _extract_selector_pages_oracle(),
     "docs_curation_verdict": _docs_curation_verdict_oracle(),
     "docs_length_quantiles": _DOCS_LENGTH_QUANTILES,
     "extract_anchor_texts": _extract_anchor_texts_oracle(),

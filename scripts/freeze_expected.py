@@ -166,6 +166,35 @@ def extract_lines_rows(rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def selector_extract_rows(rows: list[tuple]) -> list[tuple]:
+    """Latest-capture dedup + SELECTOR-driven extraction under a custom
+    drop policy (the default boilerplate set plus h2 headings) — the
+    north_star's configurable-policy path, distinct from main_text's
+    fixed tag set so the oracle can tell them apart."""
+    import hashlib
+
+    from crystal_html5_spark.html5x.extract import main_text_selector
+    from crystal_html5_spark.html5x.parser import parse
+    from crystal_html5_spark.sparkjob.queries import _SELECTOR_POLICY
+
+    latest: dict = {}
+    for url, ts, html, _text, _lang in rows:
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html)
+    out = []
+    for url in sorted(latest):
+        _ts, html = latest[url]
+        try:
+            mt = main_text_selector(parse(html or b""), _SELECTOR_POLICY)
+        except Exception:  # noqa: BLE001
+            mt = ""
+        out.append((url,
+                    hashlib.sha256(mt.encode("utf-8", "surrogateescape"))
+                    .hexdigest(),
+                    len(mt)))
+    return out
+
+
 def anchor_rows(rows: list[tuple]) -> list[tuple]:
     """(url, href, anchor_text) per a[href] match over EVERY fixture
     row (recrawls included, matching page_links' convention) — raw
@@ -282,6 +311,14 @@ def main() -> None:
         "line": pa.array([r[2] for r in li], pa.string()),
     })
     pq.write_table(lit, OUT_DIR / f"extract_lines_{N_PAGES}.parquet")
+
+    se = selector_extract_rows(rows)
+    set_ = pa.table({
+        "url": pa.array([r[0] for r in se], pa.string()),
+        "sel_sha256": pa.array([r[1] for r in se], pa.string()),
+        "sel_len": pa.array([r[2] for r in se], pa.int64()),
+    })
+    pq.write_table(set_, OUT_DIR / f"extract_selector_{N_PAGES}.parquet")
 
     an = anchor_rows(rows)
     ant = pa.table({
