@@ -1578,6 +1578,52 @@ FROM ranked GROUP BY lang ORDER BY lang
 """
 
 
+# ----------------- Z-order clustering key (bit interleave) -----------------
+#
+# The lakehouse multi-dimensional clustering technique (Delta/Iceberg
+# OPTIMIZE ZORDER): interleaving the bits of two sort dimensions gives
+# a single key whose sort order keeps BOTH dimensions locally clustered,
+# so row-group min/max stats prune scans for predicates on either
+# column — a plain compound sort only prunes the leading one.  Here the
+# two 16-bit dimensions are the event's user hash and its hour bucket;
+# the interleave is 32 integer terms of ((x >> i) & 1) << k — pure
+# bitwise SQL, identical text on both engines (tests/
+# test_layout_skipping.py proves the pruning effect on real parquet
+# row-group statistics).
+def _zorder_expr(dialect: str, xcol: str, ycol: str,
+                 bits: int = 16) -> str:
+    # bit extraction and placement via division/modulo/multiplication —
+    # one ANSI arithmetic form both engines parse identically (Spark
+    # lacks the << >> operators pre-4.x and DuckDB lacks shiftleft())
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(({xcol} % {2 ** (i + 1)}) - ({xcol} % {2 ** i}))"
+            f" * {2 ** (i + 1)}")
+        terms.append(
+            f"(({ycol} % {2 ** (i + 1)}) - ({ycol} % {2 ** i}))"
+            f" * {2 ** i}")
+    # bit b of x contributes x_bit * 2^b; scaling by 2^(b+1) / 2^b
+    # relocates it to interleaved position 2b+1 / 2b — the terms are
+    # disjoint powers of two, so + equals |
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _events_zorder_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH dims AS (
+  SELECT event_id,
+         CAST(user_id % 65536 AS BIGINT) AS ux,
+         CAST((event_id {idiv} 50) % 65536 AS BIGINT) AS tb
+  FROM events
+)
+SELECT event_id, ux, tb,
+       {_zorder_expr(dialect, 'ux', 'tb')} AS zkey
+FROM dims ORDER BY event_id
+"""
+
+
 # ------------- deterministic training-shard assignment -------------
 #
 # Reproducible global shuffle for training: every document gets a
@@ -3945,6 +3991,7 @@ QUERIES: dict = {
     "docs_quality_tiers": _sql(_docs_quality_tiers_sql("spark")),
     "docs_token_cms": _sql(_docs_token_cms_sql("spark")),
     "docs_shard_assign": _sql(_docs_shard_assign_sql("spark")),
+    "events_zorder_key": _sql(_events_zorder_sql("spark")),
     "docs_bpe_token_stats": _sql(_DOCS_BPE_TOKENS),
     "docs_repetition": _sql(_docs_repetition_sql("spark")),
     "docs_sample_stratified": _sql(_docs_sample_sql("spark")),
@@ -4034,6 +4081,7 @@ ORACLES: dict = {
     "docs_quality_tiers": _docs_quality_tiers_sql("duck"),
     "docs_token_cms": _docs_token_cms_sql("duck"),
     "docs_shard_assign": _docs_shard_assign_sql("duck"),
+    "events_zorder_key": _events_zorder_sql("duck"),
     "docs_bpe_token_stats": _DOCS_BPE_TOKENS_DUCK,
     "docs_repetition": _docs_repetition_sql("duck"),
     "docs_sample_stratified": _docs_sample_sql("duck"),
