@@ -58,6 +58,12 @@ DEFAULT_DROP_SELECTOR = (
     " noscript, iframe"
 )
 
+# The driver query / freeze-script shared variant policy: the default
+# set PLUS h2 headings, so selector-driven output is distinguishable
+# from the fixed-tag-set path.  Lives here (not in sparkjob.queries)
+# so the Spark-free freeze script can import it without pyspark.
+SELECTOR_POLICY_WITH_H2 = DEFAULT_DROP_SELECTOR + ", h2"
+
 
 def main_text_selector(doc: Node,
                        drop_selector: str = DEFAULT_DROP_SELECTOR) -> str:

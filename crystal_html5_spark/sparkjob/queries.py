@@ -772,19 +772,11 @@ FROM perdoc ORDER BY doc_id
 # selector the engine supports works (.sidebar, [role=banner], ...);
 # per-url sha256 of the selector-stripped text makes one wrong node
 # classification anywhere fail the hash.
-_SELECTOR_POLICY = ("script, style, template, nav, header, footer,"
-                    " aside, form, noscript, iframe, h2")
+from ..html5x.extract import SELECTOR_POLICY_WITH_H2 as _SELECTOR_POLICY  # noqa: E501,E402
 
 
 def _extract_selector_pages(spark, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    latest = (
-        pages.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1").select("url", "html")
-    )
+    latest = _latest_pages(spark)
 
     def extract(iterator):
         import hashlib
@@ -1590,8 +1582,7 @@ FROM ranked GROUP BY lang ORDER BY lang
 # bitwise SQL, identical text on both engines (tests/
 # test_layout_skipping.py proves the pruning effect on real parquet
 # row-group statistics).
-def _zorder_expr(dialect: str, xcol: str, ycol: str,
-                 bits: int = 16) -> str:
+def _zorder_expr(xcol: str, ycol: str, bits: int = 16) -> str:
     # bit extraction and placement via division/modulo/multiplication —
     # one ANSI arithmetic form both engines parse identically (Spark
     # lacks the << >> operators pre-4.x and DuckDB lacks shiftleft())
@@ -1619,7 +1610,7 @@ WITH dims AS (
   FROM events
 )
 SELECT event_id, ux, tb,
-       {_zorder_expr(dialect, 'ux', 'tb')} AS zkey
+       {_zorder_expr('ux', 'tb')} AS zkey
 FROM dims ORDER BY event_id
 """
 
@@ -2451,14 +2442,7 @@ FROM classified GROUP BY url ORDER BY url
 
 
 def _extract_content_blocks(spark, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    latest = (
-        pages.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1").select("url", "html")
-    )
+    latest = _latest_pages(spark)
 
     def feats(iterator):
         import pyarrow as pa
@@ -3333,6 +3317,20 @@ _EXPECTED_DIR = _pathlib.Path(__file__).resolve().parents[2] \
 
 def _pages_fixed(spark) -> DataFrame:
     return tableio.read_table(spark, pages_parquet(spark, _FIXED_PAGES_N))
+
+
+def _latest_pages(spark) -> DataFrame:
+    """Latest capture per url of the fixed fixture — ONE Spark-side
+    definition of the dedup rule (matches freeze_expected.py's
+    latest_captures; the fixture has no (url, ts) ties)."""
+    from pyspark.sql import Window
+
+    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (pages.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1").select("url", "html"))
+
+
 
 
 def _extract_pages(spark, sf_dir: str) -> DataFrame:

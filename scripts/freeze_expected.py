@@ -56,6 +56,18 @@ def xpath_stats_row(html: bytes) -> tuple:
         return (None, -1, None, -1)
 
 
+def latest_captures(rows: list[tuple]) -> list[tuple]:
+    """(url, html) of the latest capture per url, url-sorted — THE
+    latest-capture dedup rule, defined once (strictly-greater ts wins,
+    so the first row wins ties; the fixture never produces ties).
+    Every frozen oracle derives from this one definition."""
+    latest: dict = {}
+    for url, ts, html, _text, _lang in rows:
+        if url not in latest or ts > latest[url][0]:
+            latest[url] = (ts, html)
+    return [(url, latest[url][1]) for url in sorted(latest)]
+
+
 def extract_pages_rows(rows: list[tuple]) -> list[tuple]:
     """Latest-capture dedup + extract_document over fixture rows, shaped
     like the extract_pages driver query (url, text_sha256, n_nodes,
@@ -64,13 +76,8 @@ def extract_pages_rows(rows: list[tuple]) -> list[tuple]:
 
     from crystal_html5_spark.html5x.extract import extract_document
 
-    latest: dict = {}
-    for url, ts, html, _text, _lang in rows:
-        if url not in latest or ts > latest[url][0]:
-            latest[url] = (ts, html)
     out = []
-    for url in sorted(latest):
-        _ts, html = latest[url]
+    for url, html in latest_captures(rows):
         r = extract_document(html or b"")
         out.append((
             url,
@@ -88,14 +95,9 @@ def lang_stats_rows(rows: list[tuple]) -> list[tuple]:
     sum_nodes)."""
     from crystal_html5_spark.html5x.extract import extract_document
 
-    latest: dict = {}
-    lang_of: dict = {}
-    for url, ts, html, _text, lang in rows:
-        lang_of[url] = lang
-        if url not in latest or ts > latest[url][0]:
-            latest[url] = (ts, html)
+    lang_of = {url: lang for url, _ts, _h, _t, lang in rows}
     agg: dict = {}
-    for url, (_ts, html) in latest.items():
+    for url, html in latest_captures(rows):
         r = extract_document(html or b"")
         lang = lang_of[url]
         n, tb, nn = agg.get(lang, (0, 0, 0))
@@ -117,15 +119,10 @@ def near_dup_rows(rows: list[tuple]) -> list[tuple]:
     )
 
     perms = _mh_perm_consts()[:4]
-    latest: dict = {}
-    for url, ts, html, _text, _lang in rows:
-        if url not in latest or ts > latest[url][0]:
-            latest[url] = (ts, html)
     groups: dict = {}
     import re
 
-    for url in sorted(latest):
-        _ts, html = latest[url]
+    for url, html in latest_captures(rows):
         # ASCII-explicit tokenization: the Spark query splits with Java's
         # regexp_extract_all(main_text, '\\S+') whose default \s is the
         # ASCII class, while Python str.split() splits on Unicode
@@ -153,13 +150,8 @@ def extract_lines_rows(rows: list[tuple]) -> list[tuple]:
     the frozen artifact holds inputs, not answers."""
     from crystal_html5_spark.html5x.extract import extract_document
 
-    latest: dict = {}
-    for url, ts, html, _text, _lang in rows:
-        if url not in latest or ts > latest[url][0]:
-            latest[url] = (ts, html)
     out = []
-    for url in sorted(latest):
-        _ts, html = latest[url]
+    for url, html in latest_captures(rows):
         mt = extract_document(html or b"")["main_text"]
         for i, line in enumerate(mt.split("\n")):
             out.append((url, i, line))
@@ -177,13 +169,8 @@ def selector_extract_rows(rows: list[tuple]) -> list[tuple]:
     from crystal_html5_spark.html5x.parser import parse
     from crystal_html5_spark.sparkjob.queries import _SELECTOR_POLICY
 
-    latest: dict = {}
-    for url, ts, html, _text, _lang in rows:
-        if url not in latest or ts > latest[url][0]:
-            latest[url] = (ts, html)
     out = []
-    for url in sorted(latest):
-        _ts, html = latest[url]
+    for url, html in latest_captures(rows):
         try:
             mt = main_text_selector(parse(html or b""), _SELECTOR_POLICY)
         except Exception:  # noqa: BLE001
@@ -224,13 +211,8 @@ def block_feature_rows(rows: list[tuple]) -> list[tuple]:
     from crystal_html5_spark.html5x.extract import block_features
     from crystal_html5_spark.html5x.parser import parse
 
-    latest: dict = {}
-    for url, ts, html, _text, _lang in rows:
-        if url not in latest or ts > latest[url][0]:
-            latest[url] = (ts, html)
     out = []
-    for url in sorted(latest):
-        _ts, html = latest[url]
+    for url, html in latest_captures(rows):
         try:
             feats = block_features(parse(html or b""))
         except Exception:  # noqa: BLE001 — malformed page -> no blocks
