@@ -962,6 +962,57 @@ FROM best ORDER BY doc_id
 """
 
 
+# ------------- benchmark decontamination (n-gram overlap) -------------
+#
+# The compliance gate every serious training corpus passes through:
+# remove documents sharing verbatim n-grams with held-out evaluation
+# sets (GPT-3's 13-gram rule; 8 tokens here because fixture docs are
+# 30-100 tokens).  The eval set is a deterministic slice (doc_id % 83
+# = 0); every other doc reports how many of its 8-gram windows appear
+# in ANY eval doc and how many distinct eval docs it collides with.
+# Scale shape: eval-set grams are tiny (a few thousand benchmarks vs
+# the corpus) — the join builds/broadcasts eval-side hashes and the
+# corpus streams past map-side; grams shuffle as 48-bit ints.
+_DECON_N = 8
+_DECON_EVAL_MOD = 83
+
+
+def _docs_decontaminate_sql(dialect: str) -> str:
+    n = _DECON_N
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        grams = (f"explode(transform(sequence(1, size(ws) - {n - 1}),"
+                 f" i -> concat_ws(' ', slice(ws, i, {n}))))")
+        guard = f"size(ws) >= {n}"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        grams = (f"unnest(list_transform(range(1, len(ws) - {n - 2}),"
+                 f" i -> array_to_string(ws[i:i+{n - 1}], ' ')))")
+        guard = f"len(ws) >= {n}"
+    gh = _md5_int(dialect, "g")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+eligible AS (SELECT doc_id, ws FROM toks WHERE {guard}),
+gstr AS (SELECT doc_id, {grams} AS g FROM eligible),
+grams AS (SELECT doc_id, {gh} AS gh FROM gstr),
+evalg AS (
+  SELECT DISTINCT gh, doc_id AS eval_doc FROM grams
+  WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+hits AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_overlap_grams,
+         CAST(COUNT(DISTINCT e.eval_doc) AS BIGINT) AS n_eval_docs_hit
+  FROM grams t JOIN evalg e ON t.gh = e.gh
+  WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_overlap_grams, n_eval_docs_hit,
+       CAST(1 AS INT) AS contaminated
+FROM hits ORDER BY doc_id
+"""
+
+
 # --------- corpus unigram-LM quality score (CCNet-style proxy) ---------
 #
 # CCNet/Gopher-style pipelines score documents with a language-model
@@ -3962,6 +4013,7 @@ QUERIES: dict = {
     "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
     "docs_dup_clusters": _docs_dup_clusters,
     "docs_ngram_dup": _sql(_docs_ngram_dup_sql("spark")),
+    "docs_decontaminate": _sql(_docs_decontaminate_sql("spark")),
     "docs_unigram_logprob": _sql(_docs_unigram_logprob_sql("spark")),
     "docs_shingle_hll": _sql(_docs_shingle_hll_sql("spark")),
     "extract_line_dedup": _extract_line_dedup,
@@ -4052,6 +4104,7 @@ ORACLES: dict = {
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
     "docs_dup_clusters": _docs_dup_clusters_oracle(),
     "docs_ngram_dup": _docs_ngram_dup_sql("duck"),
+    "docs_decontaminate": _docs_decontaminate_sql("duck"),
     "docs_unigram_logprob": _docs_unigram_logprob_sql("duck"),
     "docs_shingle_hll": _docs_shingle_hll_sql("duck"),
     "extract_line_dedup": _extract_line_dedup_oracle(),
