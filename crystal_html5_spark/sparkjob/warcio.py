@@ -560,9 +560,17 @@ def _segment_sink(df, out_dir: str, ext: str, warcinfo: bytes,
             vals = [batch.column(c) for c in cols]
             for i in range(batch.num_rows):
                 if f is None:  # open lazily: empty partitions emit nothing
-                    pid = TaskContext.get().partitionId()
+                    ctx = TaskContext.get()
+                    pid = ctx.partitionId()
                     final = _os.path.join(out_dir, f"part-{pid:05d}{ext}")
-                    tmp = final + ".tmp"
+                    # attempt-unique tmp: under speculative execution
+                    # two attempts of the same task run CONCURRENTLY —
+                    # a shared ".tmp" name would have both write the
+                    # same file and corrupt it; with unique tmps the
+                    # final os.replace is the (atomic) race winner and
+                    # the loser's rename overwrites with identical
+                    # deterministic content
+                    tmp = f"{final}.attempt-{ctx.taskAttemptId()}.tmp"
                     f = open(tmp, "wb")
                     f.write(_member(_warcinfo_record(warcinfo), gz))
                 row = tuple(v[i].as_py() for v in vals)
@@ -730,13 +738,17 @@ def write_warc_sink_indexed(pages, out_dir: str, gz: bool = True) -> None:
         return (url, ts, offset, length, digest)
 
     def sidecar(final, entries):
-        cdxj = write_cdxj([e[:4] for e in entries],
-                          digests=[e[4] for e in entries])
-        tmp = final + ".cdxj.tmp"
-        with open(tmp, "wb") as cf:
-            cf.write(cdxj)
         import os as _os
 
+        from pyspark import TaskContext
+
+        cdxj = write_cdxj([e[:4] for e in entries],
+                          digests=[e[4] for e in entries])
+        # attempt-unique tmp for the same speculative-execution reason
+        # as the segment body
+        tmp = f"{final}.cdxj.attempt-{TaskContext.get().taskAttemptId()}.tmp"
+        with open(tmp, "wb") as cf:
+            cf.write(cdxj)
         _os.replace(tmp, final + ".cdxj")
 
     _segment_sink(pages, out_dir, ".warc.gz" if gz else ".warc",

@@ -559,3 +559,42 @@ def test_warc_sink_indexed_roundtrip(tmp_path):
     want = {(u, t): h for u, t, h, _x, _l in rows}
     assert {k: v for k, v in got.items()} == {
         k: (v or b"") for k, v in want.items()}
+
+
+def test_sink_heals_crash_debris(tmp_path):
+    """Leftover attempt tmp files from a crashed/killed task must not
+    poison a re-run: the sink writes fresh attempt-unique tmps and the
+    final artifacts are correct regardless of debris."""
+    import glob
+
+    from crystal_html5_spark.sparkjob.pages import synth_rows
+    from crystal_html5_spark.sparkjob.session import get_spark
+    from crystal_html5_spark.sparkjob.warcio import (
+        parse_cdxj,
+        read_warc_record,
+        write_warc_sink_indexed,
+    )
+
+    spark = get_spark("warc-debris-tests", master="local[4]",
+                      shuffle_partitions=4)
+    out = tmp_path / "segs"
+    out.mkdir()
+    # simulate a crashed attempt's leftovers
+    (out / "part-00000.warc.gz.attempt-7.tmp").write_bytes(b"garbage")
+    (out / "part-00001.warc.gz.cdxj.attempt-3.tmp").write_bytes(b"junk")
+
+    rows = synth_rows(40)
+    df = spark.createDataFrame(
+        [(u, t, h) for u, t, h, _x, _l in rows],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(2)
+    write_warc_sink_indexed(df, str(out), gz=True)
+
+    got = {}
+    for seg in sorted(glob.glob(str(out) + "/part-*.warc.gz")):
+        data = open(seg, "rb").read()
+        for _k, _t, blob in parse_cdxj(open(seg + ".cdxj", "rb").read()):
+            rec = read_warc_record(data, blob["offset"], blob["length"])
+            got[(rec[0], rec[1])] = rec[2]
+    want = {(u, t): (h or b"") for u, t, h, _x, _l in rows}
+    assert got == want
