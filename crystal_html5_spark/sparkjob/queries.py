@@ -1440,6 +1440,54 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# ---------------- PMI collocations (top token bigrams) ----------------
+#
+# Collocation mining: adjacent token pairs ranked by pointwise mutual
+# information log2(N * c_xy / (c_x * c_y)) — the signal behind
+# phrase/vocab induction over a corpus.  Bigrams build map-side from
+# the token array (no window function over exploded tokens); the
+# unigram join sides are vocabulary-sized.  PMI is quantized to
+# centibits with the module's single-float-op FLOOR(x*100 + 0.5)
+# convention; ranking ties break on the pair text.  A minimum pair
+# count keeps the head statistical, not noise.
+_PMI_MIN_COUNT = 25
+
+
+def _docs_pmi_bigrams_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        bigrams = ("explode(transform(sequence(1, size(ws) - 1),"
+                   " i -> struct(ws[i - 1] AS w1, ws[i] AS w2)))")
+        bsel = (f"SELECT b.w1 AS w1, b.w2 AS w2 FROM toks"
+                f" LATERAL VIEW {bigrams} t AS b WHERE size(ws) >= 2")
+        wtok = "SELECT explode(ws) AS w FROM toks"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        bsel = ("SELECT unnest(ws[1:-2]) AS w1, unnest(ws[2:-1]) AS w2"
+                " FROM toks WHERE len(ws) >= 2")
+        wtok = "SELECT unnest(ws) AS w FROM toks"
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
+bigrams AS ({bsel}),
+bcnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bigrams
+  GROUP BY w1, w2
+),
+ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         FROM ({wtok}) t GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bcnt)
+SELECT b.w1, b.w2, b.c AS pair_count,
+       CAST(FLOOR(100.0 * log2(1.0 * t.n * b.c / (u1.c * u2.c)) + 0.5)
+            AS BIGINT) AS pmi_centibits
+FROM bcnt b
+JOIN ucnt u1 ON b.w1 = u1.w
+JOIN ucnt u2 ON b.w2 = u2.w
+CROSS JOIN tot t
+WHERE b.c >= {_PMI_MIN_COUNT}
+ORDER BY pmi_centibits DESC, b.w1, b.w2 LIMIT 20
+"""
+
+
 # ------------------- TF-IDF top-k terms per doc -------------------
 #
 # Keyword extraction with the standard tf x ln(N/df) weighting, kept
@@ -4014,6 +4062,7 @@ QUERIES: dict = {
     "docs_dup_clusters": _docs_dup_clusters,
     "docs_ngram_dup": _sql(_docs_ngram_dup_sql("spark")),
     "docs_decontaminate": _sql(_docs_decontaminate_sql("spark")),
+    "docs_pmi_bigrams": _sql(_docs_pmi_bigrams_sql("spark")),
     "docs_unigram_logprob": _sql(_docs_unigram_logprob_sql("spark")),
     "docs_shingle_hll": _sql(_docs_shingle_hll_sql("spark")),
     "extract_line_dedup": _extract_line_dedup,
@@ -4105,6 +4154,7 @@ ORACLES: dict = {
     "docs_dup_clusters": _docs_dup_clusters_oracle(),
     "docs_ngram_dup": _docs_ngram_dup_sql("duck"),
     "docs_decontaminate": _docs_decontaminate_sql("duck"),
+    "docs_pmi_bigrams": _docs_pmi_bigrams_sql("duck"),
     "docs_unigram_logprob": _docs_unigram_logprob_sql("duck"),
     "docs_shingle_hll": _docs_shingle_hll_sql("duck"),
     "extract_line_dedup": _extract_line_dedup_oracle(),
