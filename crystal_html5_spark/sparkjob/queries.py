@@ -1714,6 +1714,93 @@ FROM dims ORDER BY event_id
 """
 
 
+# ------------- deterministic Bloom filter (membership sketch) -------------
+#
+# The third classic sketch next to HLL (distincts) and CMS (counts):
+# set membership.  Spark's own bloomFilter/might_contain is
+# engine-private, so like the others this one pins the hash layout to
+# md5: k=3 bit positions per key in an m=64-bit filter stored as
+# BIGINT words built with BIT_OR aggregation (order-free, partial-agg
+# safe — each word is the OR of per-key power-of-two contributions).
+# Words are 32-bit (8 of them): a 64-bit word would need 2^63, which
+# overflows signed BIGINT differently per engine.
+# The filter is built from ENGLISH docs' token set and probed with the
+# full vocabulary; output reports per probe the filter verdict, the
+# true membership, and the false-positive flag — the sketch's error is
+# graded, not just its mechanics.  2^x is exact double arithmetic for
+# x <= 62, so CAST(POW(2, bit) AS BIGINT) is exact in both engines.
+_BLOOM_BITS = 64  # sized so the ~30-key fixture load yields real
+# false positives — both verdict branches graded, not just mechanics
+_BLOOM_K = 3
+
+
+def _docs_bloom_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "regexp_extract_all(text, '\\\\S+', 0)"
+        wtok = "SELECT lang, explode(ws) AS w FROM toks"
+        bor = "bit_or"
+    else:
+        toks = r"regexp_extract_all(text, '\S+')"
+        wtok = "SELECT lang, unnest(ws) AS w FROM toks"
+        bor = "bit_or"
+    def bitpos(j: int) -> str:
+        h = _md5_int(dialect, f"('b{j}:' || w)", nhex=4)
+        return f"(({h}) % {_BLOOM_BITS})"
+    setters = []
+    for j in range(_BLOOM_K):
+        setters.append(f"{bitpos(j)} AS b{j}")
+    bits_union = " UNION ALL ".join(
+        f"SELECT b{j} AS bit FROM kb" for j in range(_BLOOM_K))
+    words = ", ".join(
+        f"CAST({bor}(CASE WHEN bit >= {32 * wd} AND bit < {32 * (wd + 1)}"
+        f" THEN CAST(POW(2, bit - {32 * wd}) AS BIGINT)"
+        f" ELSE 0 END) AS BIGINT) AS word{wd}"
+        for wd in range(_BLOOM_BITS // 32))
+    def probe_hit() -> str:
+        conds = []
+        for j in range(_BLOOM_K):
+            b = bitpos(j).replace(" w)", " p.w)")
+            conds.append(
+                "(CASE "
+                + " ".join(
+                    f"WHEN {b} >= {32 * wd} AND {b} < {32 * (wd + 1)}"
+                    f" THEN (f.word{wd} {{idiv}}"
+                    f" CAST(POW(2, {b} - {32 * wd}) AS BIGINT)) % 2"
+                    for wd in range(_BLOOM_BITS // 32))
+                + " END) = 1")
+        return " AND ".join(conds)
+    idiv = "DIV" if dialect == "spark" else "//"
+    hit = probe_hit().format(idiv=idiv)
+    return f"""
+WITH toks AS (SELECT lang, {toks} AS ws FROM documents),
+wtoks AS ({wtok}),
+en_keys AS (SELECT DISTINCT w FROM wtoks WHERE lang = 'en'),
+kb AS (SELECT w, {', '.join(setters)} FROM en_keys),
+bits AS ({bits_union}),
+filt AS (SELECT {words} FROM bits),
+vocab AS (SELECT DISTINCT w FROM wtoks),
+-- the fixture langs share one vocabulary, so genuine non-members are
+-- synthesized from doc ids: 100 probe strings that can never be keys
+probes AS (
+  SELECT w FROM vocab
+  UNION
+  SELECT DISTINCT 'probe_' || (doc_id % 100) AS w FROM documents
+),
+probed AS (
+  SELECT p.w,
+         CAST(CASE WHEN {hit} THEN 1 ELSE 0 END AS INT) AS in_filter,
+         CAST(CASE WHEN e.w IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS actually_present
+  FROM probes p CROSS JOIN filt f
+  LEFT JOIN en_keys e ON p.w = e.w
+)
+SELECT w, in_filter, actually_present,
+       CAST(CASE WHEN in_filter = 1 AND actually_present = 0
+                 THEN 1 ELSE 0 END AS INT) AS false_positive
+FROM probed ORDER BY w
+"""
+
+
 # ------------- deterministic training-shard assignment -------------
 #
 # Reproducible global shuffle for training: every document gets a
@@ -4063,6 +4150,7 @@ QUERIES: dict = {
     "docs_ngram_dup": _sql(_docs_ngram_dup_sql("spark")),
     "docs_decontaminate": _sql(_docs_decontaminate_sql("spark")),
     "docs_pmi_bigrams": _sql(_docs_pmi_bigrams_sql("spark")),
+    "docs_bloom_membership": _sql(_docs_bloom_sql("spark")),
     "docs_unigram_logprob": _sql(_docs_unigram_logprob_sql("spark")),
     "docs_shingle_hll": _sql(_docs_shingle_hll_sql("spark")),
     "extract_line_dedup": _extract_line_dedup,
@@ -4155,6 +4243,7 @@ ORACLES: dict = {
     "docs_ngram_dup": _docs_ngram_dup_sql("duck"),
     "docs_decontaminate": _docs_decontaminate_sql("duck"),
     "docs_pmi_bigrams": _docs_pmi_bigrams_sql("duck"),
+    "docs_bloom_membership": _docs_bloom_sql("duck"),
     "docs_unigram_logprob": _docs_unigram_logprob_sql("duck"),
     "docs_shingle_hll": _docs_shingle_hll_sql("duck"),
     "extract_line_dedup": _extract_line_dedup_oracle(),
