@@ -1598,7 +1598,10 @@ ORDER BY n_refs DESC, target LIMIT 50
 """
 
 
-def _extract_anchor_texts(spark, sf_dir: str) -> DataFrame:
+def _extract_anchor_frame(spark) -> DataFrame:
+    """(url, href, anchor_text) rows from every fixture page via the
+    CSS engine — shared by the anchor rollup and the link-graph
+    PageRank."""
     pages = _pages_fixed(spark).select("url", "html")
 
     def anchors(iterator):
@@ -1628,9 +1631,12 @@ def _extract_anchor_texts(spark, sf_dir: str) -> DataFrame:
                 names=["url", "href", "anchor_text"],
             )
 
-    adf = pages.mapInArrow(
+    return pages.mapInArrow(
         anchors, "url string, href string, anchor_text string")
-    adf.createOrReplaceTempView("page_anchors")
+
+
+def _extract_anchor_texts(spark, sf_dir: str) -> DataFrame:
+    _extract_anchor_frame(spark).createOrReplaceTempView("page_anchors")
     return spark.sql(_ANCHOR_AGG_SQL.format(src="page_anchors"))
 
 
@@ -2555,15 +2561,12 @@ def _docs_pagerank_oracle() -> str:
             " ORDER BY doc_id")
 
 
-def _docs_pagerank(spark, sf_dir: str) -> DataFrame:
-    load_views(spark, sf_dir)
-    base = spark.sql(
-        "WITH " + _pr_graph_sql("spark")
-        + " SELECT src, dst, od FROM edges JOIN outdeg USING (src)")
-    edges = base.localCheckpoint(eager=True)
-    nodes = spark.sql(
-        "WITH " + _pr_graph_sql("spark") + " SELECT v FROM nodes"
-    ).localCheckpoint(eager=True)
+def _pagerank_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """The iterative integer-PageRank body shared by the synthetic and
+    the real-link-graph queries: `nodes(v)`, `edges(src, dst, od)` ->
+    (v, r) after _PR_ITERS rounds, localCheckpoint per round."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.select("v", F.lit(_PR_UNIT).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -2581,6 +2584,17 @@ def _docs_pagerank(spark, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return ranks
+
+
+def _docs_pagerank(spark, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    edges = spark.sql(
+        "WITH " + _pr_graph_sql("spark")
+        + " SELECT src, dst, od FROM edges JOIN outdeg USING (src)")
+    nodes = spark.sql(
+        "WITH " + _pr_graph_sql("spark") + " SELECT v FROM nodes")
+    ranks = _pagerank_loop(nodes, edges)
     return ranks.select(F.col("v").alias("doc_id"),
                         F.col("r").alias("rank_micros")).orderBy("doc_id")
 
