@@ -623,6 +623,50 @@ _WORDS_SRC_DUCK = (
 _DOCS_SIMHASH_SPARK = _simhash_sql(_WORDS_SRC_SPARK)
 _DOCS_SIMHASH_DUCK = _simhash_sql(_WORDS_SRC_DUCK)
 
+# SimHash near-dup pairs by pigeonhole banding: Hamming distance <= 3
+# over 16 bits guarantees at least one of four 4-bit bands is
+# IDENTICAL, so candidates come from a band equi-join (never
+# all-pairs) and the exact Hamming check (bit_count of XOR — integer
+# ops, both engines) runs only on collisions.  The bitwise geometry
+# complement to the MinHash/Jaccard family.  Threshold 1 here: the
+# fixture's 31-token shared vocabulary makes 16-bit signatures
+# coarse (ham <= 3 would pass a third of all pairs); at <= 1 the band
+# guarantee holds a fortiori and the output stays discriminative.
+_SIMHASH_MAX_HAMMING = 1
+
+
+def _docs_simhash_pairs_sql(dialect: str) -> str:
+    words = _WORDS_SRC_SPARK if dialect == "spark" else _WORDS_SRC_DUCK
+    sim = _simhash_sql(words).replace("ORDER BY doc_id", "")
+    xor = ("(a.simhash16 ^ b.simhash16)" if dialect == "spark"
+           else "xor(a.simhash16, b.simhash16)")
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH sims AS ({sim}),
+sbands AS (
+  SELECT doc_id, simhash16, band_no,
+         (simhash16 {idiv} CAST(POW(16, band_no) AS BIGINT)) % 16
+             AS band_val
+  FROM sims CROSS JOIN (
+    SELECT CAST(0 AS INT) AS band_no UNION ALL SELECT 1
+    UNION ALL SELECT 2 UNION ALL SELECT 3) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sbands a JOIN sbands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count({xor}) AS INT) AS hamming
+FROM cand c
+JOIN sims a ON c.doc_a = a.doc_id
+JOIN sims b ON c.doc_b = b.doc_id
+WHERE bit_count({xor}) <= {_SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 # Near-dup candidate PAIRS: docs colliding in ANY of the 16 bands (the
 # real LSH candidate generation — a band-keyed equi-join, never all-pairs),
 # with the number of agreeing bands as the similarity hint.
@@ -4158,6 +4202,7 @@ QUERIES: dict = {
     "docs_minhash_sigs": _sql(_DOCS_MINHASH_SPARK),
     "docs_minhash_bands": _sql(_DOCS_MINHASH_BANDS_SPARK),
     "docs_simhash": _sql(_DOCS_SIMHASH_SPARK),
+    "docs_simhash_pairs": _sql(_docs_simhash_pairs_sql("spark")),
     "docs_near_dup_pairs": _sql(_DOCS_NEAR_DUP_PAIRS_SPARK),
     "docs_jaccard_verify": _sql(_DOCS_JACCARD_VERIFY_SPARK),
     "docs_dup_clusters": _docs_dup_clusters,
@@ -4251,6 +4296,7 @@ ORACLES: dict = {
     "docs_minhash_sigs": _DOCS_MINHASH_DUCK,
     "docs_minhash_bands": _DOCS_MINHASH_BANDS_DUCK,
     "docs_simhash": _DOCS_SIMHASH_DUCK,
+    "docs_simhash_pairs": _docs_simhash_pairs_sql("duck"),
     "docs_near_dup_pairs": _DOCS_NEAR_DUP_PAIRS_DUCK,
     "docs_jaccard_verify": _DOCS_JACCARD_VERIFY_DUCK,
     "docs_dup_clusters": _docs_dup_clusters_oracle(),
