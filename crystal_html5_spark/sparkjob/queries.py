@@ -623,36 +623,38 @@ _WORDS_SRC_DUCK = (
 _DOCS_SIMHASH_SPARK = _simhash_sql(_WORDS_SRC_SPARK)
 _DOCS_SIMHASH_DUCK = _simhash_sql(_WORDS_SRC_DUCK)
 
-# SimHash near-dup pairs by pigeonhole banding: Hamming distance <= 3
-# over 16 bits guarantees at least one of four 4-bit bands is
-# IDENTICAL, so candidates come from a band equi-join (never
+# SimHash near-dup pairs by pigeonhole banding: Hamming distance <= 1
+# over 16 bits means AT MOST one bit differs, so at least one of two
+# 8-bit halves is IDENTICAL — candidates come from an equi-join on the
+# half value (256-way keyspace; review round 4 replaced the first
+# version's 4-bit bands, whose 16 values made the join effectively
 # all-pairs) and the exact Hamming check (bit_count of XOR — integer
-# ops, both engines) runs only on collisions.  The bitwise geometry
-# complement to the MinHash/Jaccard family.  Threshold 1 here: the
-# fixture's 31-token shared vocabulary makes 16-bit signatures
-# coarse (ham <= 3 would pass a third of all pairs); at <= 1 the band
-# guarantee holds a fortiori and the output stays discriminative.
+# ops, both engines) runs only on collisions.  A production simhash is
+# 64-bit with 16-bit bands (65k-way keys); 16 bits is what the
+# fixture's 31-token vocabulary supports.  The bitwise geometry
+# complement to the MinHash/Jaccard family.
 _SIMHASH_MAX_HAMMING = 1
 
 
 def _docs_simhash_pairs_sql(dialect: str) -> str:
     words = _WORDS_SRC_SPARK if dialect == "spark" else _WORDS_SRC_DUCK
     sim = _simhash_sql(words).replace("ORDER BY doc_id", "")
-    xor = ("(a.simhash16 ^ b.simhash16)" if dialect == "spark"
-           else "xor(a.simhash16, b.simhash16)")
+    assert "ORDER BY" not in sim  # loud if the inner SQL text drifts
+    xor = ("(c.sim_a ^ c.sim_b)" if dialect == "spark"
+           else "xor(c.sim_a, c.sim_b)")
     idiv = "DIV" if dialect == "spark" else "//"
     return f"""
 WITH sims AS ({sim}),
 sbands AS (
   SELECT doc_id, simhash16, band_no,
-         (simhash16 {idiv} CAST(POW(16, band_no) AS BIGINT)) % 16
+         (simhash16 {idiv} CAST(POW(256, band_no) AS BIGINT)) % 256
              AS band_val
   FROM sims CROSS JOIN (
-    SELECT CAST(0 AS INT) AS band_no UNION ALL SELECT 1
-    UNION ALL SELECT 2 UNION ALL SELECT 3) b
+    SELECT CAST(0 AS INT) AS band_no UNION ALL SELECT 1) b
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash16 AS sim_a, b.simhash16 AS sim_b
   FROM sbands a JOIN sbands b
     ON a.band_no = b.band_no AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
@@ -660,8 +662,6 @@ cand AS (
 SELECT c.doc_a, c.doc_b,
        CAST(bit_count({xor}) AS INT) AS hamming
 FROM cand c
-JOIN sims a ON c.doc_a = a.doc_id
-JOIN sims b ON c.doc_b = b.doc_id
 WHERE bit_count({xor}) <= {_SIMHASH_MAX_HAMMING}
 ORDER BY doc_a, doc_b
 """

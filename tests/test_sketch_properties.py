@@ -20,12 +20,23 @@ def duck():
 
 
 def test_bloom_never_false_negative(duck):
+    import math
+
     df = duck.execute(Q._docs_bloom_sql("duck")).df()
     members = df[df.actually_present == 1]
     assert len(members) > 0
     assert (members.in_filter == 1).all()
-    # and the FP branch is actually exercised on this fixture
-    assert df.false_positive.sum() > 0
+    # and the FP branch is actually exercised on this fixture...
+    n_non = (df.actually_present == 0).sum()
+    fps = df.false_positive.sum()
+    assert fps > 0
+    # ...at a rate consistent with theory (not a degenerate all-ones
+    # filter): expected (1 - e^{-kn/m})^k, asserted within 2x — review
+    # round 4: without an upper bound, a filter answering yes to
+    # everything would pass
+    k, m, n_keys = Q._BLOOM_K, Q._BLOOM_BITS, len(members)
+    p_theory = (1 - math.exp(-k * n_keys / m)) ** k
+    assert fps <= 2 * p_theory * n_non
 
 
 def test_cms_never_undercounts(duck):
