@@ -144,11 +144,20 @@ def pages_df(spark, n_rows: int, seed: int = 42):
 
 def pages_parquet(spark, n_rows: int, seed: int = 42,
                   cache_dir: str | None = None,
-                  rows_per_file: int = 2048) -> str:
+                  rows_per_file: int = 512) -> str:
     """Materialize the pages table as parquet (bench path: realistic scan,
     column pruning, predicate pushdown).  Written chunked with pyarrow
     directly — no driver-side createDataFrame of the whole table.
-    Cached by (n_rows, seed)."""
+    Cached by (n_rows, seed, rows_per_file).
+
+    512 rows/file (~1 MB of html): each file is one row group, and
+    Spark's scan parallelism is row-group-granular, so the r5 layout's
+    2048-row files gave the 20k-page bench table only 10 scan splits —
+    every mapInArrow stage without its own repartition (page_xpath_stats)
+    ran at 10/32 cores.  512-row files yield >= parallelism splits at the
+    bench scale; file count scales with n_rows, so larger tables just get
+    proportionally more (still multi-MB) files.  The rows_per_file is in
+    the cache key so layout changes can never serve a stale directory."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -156,7 +165,7 @@ def pages_parquet(spark, n_rows: int, seed: int = 42,
         cache_dir or os.environ.get("SPARK_GRAFT_CACHE",
                                     str(_REPO_ROOT / "build"))
     )
-    out = cache_root / f"pages_n{n_rows}_s{seed}.parquet"
+    out = cache_root / f"pages_n{n_rows}_s{seed}_r{rows_per_file}.parquet"
     marker = out / "_DONE"
     if not marker.exists():
         out.mkdir(parents=True, exist_ok=True)

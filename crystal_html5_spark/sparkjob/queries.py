@@ -41,11 +41,59 @@ TABLES = (
 )
 
 
+def _spread_scan(spark, df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spreading (optimization guide §2.5 "input
+    skew" / §6 split sizing): when a file scan yields fewer input splits
+    than the session's parallelism — the sf tables are single-file,
+    single-row-group parquet, so their scans are ONE task and every
+    map-side expression (minhash signatures, n-gram explode+md5, cosine
+    lambdas) runs serially — round-robin repartition to
+    defaultParallelism.  The shuffle moves only the pruned columns of a
+    sub-split-size table (< 128 MB by construction), and at real scale
+    the scan already has >= parallelism splits so this returns the frame
+    unchanged (no exchange in the plan)."""
+    p = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning failure: leave untouched
+        return df
+    return df.repartition(p) if n < p else df
+
+
+# Split-count probes are a (cheap but nonzero) extra planning pass;
+# the answer is a pure function of the file layout and the session's
+# parallelism, so memoize per (source, parallelism).  This caches a
+# PLANNING decision, never data or results.
+_SPREAD_MEMO: dict = {}
+
+
+def _spread_view(spark, df: DataFrame, source: str) -> DataFrame:
+    p = spark.sparkContext.defaultParallelism
+    key = (source, p)
+    if key not in _SPREAD_MEMO:
+        try:
+            _SPREAD_MEMO[key] = df.rdd.getNumPartitions() < p
+        except Exception:  # noqa: BLE001
+            _SPREAD_MEMO[key] = False
+    return df.repartition(p) if _SPREAD_MEMO[key] else df
+
+
+# Tables whose queries do heavy per-row expression work map-side (the
+# minhash/ngram/simhash/unigram families over `documents`, the cosine /
+# quantization lambdas over `embeddings`): these get the adaptive spread.
+# The relational facts (lineitem/orders) aggregate or join straight off
+# the scan with cheap expressions, where an extra exchange only adds
+# cost; the events queries shuffle by user_id immediately anyway.
+_SPREAD_TABLES = ("documents", "embeddings")
+
+
 def load_views(spark, sf_dir: str) -> None:
     for t in TABLES:
-        tableio.read_table(
-            spark, f"{sf_dir}/{t}.parquet"
-        ).createOrReplaceTempView(t)
+        source = f"{sf_dir}/{t}.parquet"
+        df = tableio.read_table(spark, source)
+        if t in _SPREAD_TABLES:
+            df = _spread_view(spark, df, source)
+        df.createOrReplaceTempView(t)
 
 
 def _sql(query: str):
@@ -820,7 +868,7 @@ from ..html5x.extract import SELECTOR_POLICY_WITH_H2 as _SELECTOR_POLICY  # noqa
 
 
 def _extract_selector_pages(spark, sf_dir: str) -> DataFrame:
-    latest = _latest_pages(spark)
+    latest = _latest_pages_sorted(spark)
 
     def extract(iterator):
         import hashlib
@@ -830,19 +878,18 @@ def _extract_selector_pages(spark, sf_dir: str) -> DataFrame:
         from crystal_html5_spark.html5x.extract import main_text_selector
         from crystal_html5_spark.html5x.parser import parse
 
-        for batch in iterator:
-            urls = batch.column("url").to_pylist()
-            htmls = batch.column("html").to_pylist()
-            sha, ln = [], []
-            for h in htmls:
-                try:
-                    mt = main_text_selector(parse(h or b""),
-                                            _SELECTOR_POLICY)
-                except Exception:  # noqa: BLE001
-                    mt = ""
-                sha.append(hashlib.sha256(
-                    mt.encode("utf-8", "surrogateescape")).hexdigest())
-                ln.append(len(mt))
+        urls, sha, ln = [], [], []
+        for u, h in _consecutive_latest(iterator):
+            try:
+                mt = main_text_selector(parse(h or b""),
+                                        _SELECTOR_POLICY)
+            except Exception:  # noqa: BLE001
+                mt = ""
+            urls.append(u)
+            sha.append(hashlib.sha256(
+                mt.encode("utf-8", "surrogateescape")).hexdigest())
+            ln.append(len(mt))
+        if urls:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(urls, pa.string()), pa.array(sha, pa.string()),
                  pa.array(ln, pa.int64())],
@@ -1646,7 +1693,7 @@ def _extract_anchor_frame(spark) -> DataFrame:
     """(url, href, anchor_text) rows from every fixture page via the
     CSS engine — shared by the anchor rollup and the link-graph
     PageRank."""
-    pages = _pages_fixed(spark).select("url", "html")
+    pages = _pages_fixed_spread(spark).select("url", "html")
 
     def anchors(iterator):
         import pyarrow as pa
@@ -2686,7 +2733,7 @@ FROM classified GROUP BY url ORDER BY url
 
 
 def _extract_content_blocks(spark, sf_dir: str) -> DataFrame:
-    latest = _latest_pages(spark)
+    latest = _latest_pages_sorted(spark)
 
     def feats(iterator):
         import pyarrow as pa
@@ -2694,21 +2741,19 @@ def _extract_content_blocks(spark, sf_dir: str) -> DataFrame:
         from crystal_html5_spark.html5x.extract import block_features
         from crystal_html5_spark.html5x.parser import parse
 
-        for batch in iterator:
-            urls = batch.column("url").to_pylist()
-            htmls = batch.column("html").to_pylist()
-            u, bno, tag, tl, ll = [], [], [], [], []
-            for url, h in zip(urls, htmls):
-                try:
-                    rows = block_features(parse(h or b""))
-                except Exception:  # noqa: BLE001 — bad page -> no blocks
-                    rows = []
-                for b, t, a, c in rows:
-                    u.append(url)
-                    bno.append(b)
-                    tag.append(t)
-                    tl.append(a)
-                    ll.append(c)
+        u, bno, tag, tl, ll = [], [], [], [], []
+        for url, h in _consecutive_latest(iterator):
+            try:
+                rows = block_features(parse(h or b""))
+            except Exception:  # noqa: BLE001 — bad page -> no blocks
+                rows = []
+            for b, t, a, c in rows:
+                u.append(url)
+                bno.append(b)
+                tag.append(t)
+                tl.append(a)
+                ll.append(c)
+        if u:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(u, pa.string()), pa.array(bno, pa.int32()),
                  pa.array(tag, pa.string()), pa.array(tl, pa.int64()),
@@ -3563,6 +3608,17 @@ def _pages_fixed(spark) -> DataFrame:
     return tableio.read_table(spark, pages_parquet(spark, _FIXED_PAGES_N))
 
 
+def _pages_fixed_spread(spark) -> DataFrame:
+    """Fixed fixture with the adaptive scan spread (see _spread_scan):
+    the 500-page fixture is one parquet file = one scan split, so a
+    mapInArrow straight off the scan (page_links/page_titles/
+    page_xpath_stats, WARC/WAT serialization) parses every page in ONE
+    Python worker.  Queries that feed run_extract don't need this — the
+    pipeline's salted repartition already spreads them."""
+    return _spread_view(spark, _pages_fixed(spark),
+                        f"pages_fixed_{_FIXED_PAGES_N}")
+
+
 def _latest_pages(spark) -> DataFrame:
     """Latest capture per url of the fixed fixture — ONE Spark-side
     definition of the dedup rule (matches freeze_expected.py's
@@ -3573,6 +3629,39 @@ def _latest_pages(spark) -> DataFrame:
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
     return (pages.withColumn("rn", F.row_number().over(w))
             .where("rn = 1").select("url", "html"))
+
+
+def _latest_pages_sorted(spark) -> DataFrame:
+    """Latest-capture input in run_extract's ONE-shuffle shape for
+    heavyweight mapInArrow consumers: salted repartition (the key is a
+    pure function of url, so every capture of a url lands in one
+    partition) + partition-local sort on (url, warc_ts desc).  The
+    consumer keeps the FIRST row of each consecutive url run — same
+    rows as _latest_pages, but the parse work is spread over every
+    core and the window's second exchange disappears (the r5 plan ran
+    the selector/block parses in ONE task: the window's 7 MB output
+    coalesced to a single AQE partition)."""
+    from .extract_job import salted_repartition
+
+    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+    n = spark.sparkContext.defaultParallelism
+    return salted_repartition(pages, n).sortWithinPartitions(
+        "url", F.desc("warc_ts"))
+
+
+def _consecutive_latest(batches):
+    """Generator helper for the _latest_pages_sorted consumers: yields
+    (url, html) rows keeping the first row of each consecutive url run
+    (tracked across Arrow batch boundaries within the task)."""
+    last_url = None
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        for u, h in zip(urls, htmls):
+            if u == last_url:
+                continue
+            last_url = u
+            yield u, h
 
 
 
@@ -3602,7 +3691,7 @@ def _warc_extract_pages_impl(spark, gz: bool) -> DataFrame:
     oracle as extract_pages, so a single byte lost or altered by the
     WARC round-trip (url, capture timestamp feeding latest-capture
     dedup, html payload, gzip member framing) fails the hash."""
-    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+    pages = _pages_fixed_spread(spark).select("url", "warc_ts", "html")
 
     def to_warc(iterator):
         import pyarrow as pa
@@ -3667,7 +3756,7 @@ def _wat_extract_meta(spark, sf_dir: str) -> DataFrame:
     field altered by the WAT round-trip fails the hash.  Aggregation
     (not a row-per-page join) because the fixture intentionally holds
     recrawled duplicate urls."""
-    pages = _pages_fixed(spark).select("url", "warc_ts", "html")
+    pages = _pages_fixed_spread(spark).select("url", "warc_ts", "html")
 
     def to_wat(iterator):
         import pyarrow as pa
@@ -3748,7 +3837,7 @@ def _warc_gz_extract_pages(spark, sf_dir: str) -> DataFrame:
 def _page_links(spark, sf_dir: str) -> DataFrame:
     """CSS-driven link extraction per page (a[href]); oracle-checked
     against the frozen in-process-engine output."""
-    pages = _pages_fixed(spark).select("url", "html")
+    pages = _pages_fixed_spread(spark).select("url", "html")
 
     def links(iterator):
         import pyarrow as pa
@@ -3785,7 +3874,7 @@ def _page_links(spark, sf_dir: str) -> DataFrame:
 def _page_titles(spark, sf_dir: str) -> DataFrame:
     """XPath-driven title extraction per page (//title); oracle-checked
     against the frozen in-process-engine output."""
-    pages = _pages_fixed(spark).select("url", "html")
+    pages = _pages_fixed_spread(spark).select("url", "html")
 
     def titles(iterator):
         import pyarrow as pa
@@ -3872,7 +3961,7 @@ def _page_xpath_stats(spark, sf_dir: str) -> DataFrame:
     normalize-space(), axes, positional predicates, count().  Pinned to
     the fixed 500-page fixture so the frozen in-process-engine parquet
     (scripts/freeze_expected.py) is its oracle at every sf."""
-    return xpath_stats_over(_pages_fixed(spark).select("url", "html"))
+    return xpath_stats_over(_pages_fixed_spread(spark).select("url", "html"))
 
 
 def page_xpath_stats_scaled(spark, sf_dir: str) -> DataFrame:
@@ -3982,8 +4071,10 @@ def _pdf_text_roundtrip(spark, sf_dir: str) -> DataFrame:
     page count and text md5 straight from the documents table and never
     sees a PDF byte — a writer/parser bug on the Spark side cannot
     cancel out."""
-    docs = tableio.read_table(spark, f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    source = f"{sf_dir}/documents.parquet"
+    docs = _spread_view(
+        spark, tableio.read_table(spark, source), source
+    ).select("doc_id", "text")
 
     def roundtrip(iterator):
         import hashlib
