@@ -505,6 +505,22 @@ _MH_ROWS = 4
 _MH_PRIME = 2147483647  # 2^31 - 1
 
 
+def _min_tokens_rlike(col: str, m: int) -> str:
+    """Spark-side row guard "column has >= m whitespace-separated
+    tokens" as a cheap RLIKE instead of size(regexp_extract_all(...)):
+    the size() form gets pushed below the tokens projection, so the
+    full-match regexp ran TWICE per surviving row (measured ~10% of
+    extract_near_dups).  A text has >= m maximal \\S+ runs iff it
+    contains m-2 interior tokens flanked by two non-space chars across
+    m-1 whitespace gaps — the pattern below; the regex engine
+    short-circuits on the first match.  Equivalence is pinned by
+    tests/test_queries_small.py::test_min_tokens_rlike_guard.  The
+    DuckDB oracles keep the len() >= m form (frozen text; independent
+    derivation)."""
+    pattern = "\\\\S" + "\\\\s+\\\\S+" * (m - 2) + "\\\\s+\\\\S"
+    return f"{col} RLIKE '{pattern}'"
+
+
 def _mh_perm_consts() -> list[tuple[int, int]]:
     import random
 
@@ -532,7 +548,7 @@ def _mh_core_ctes(dialect: str, min_tokens: int = 3) -> str:
         toks_arr = "regexp_extract_all(text, '\\\\S+', 0)"
         shingles = ("transform(sequence(0, size(ws) - 3), i -> "
                     "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")
-        guard = f"size({toks_arr}) >= {min_tokens}"
+        guard = _min_tokens_rlike("text", min_tokens)
         tmap, amin = "transform", "array_min"
     else:
         toks_arr = r"regexp_extract_all(text, '\S+')"
@@ -823,16 +839,20 @@ def _docs_ngram_dup_sql(dialect: str) -> str:
         toks = "regexp_extract_all(text, '\\\\S+', 0)"
         grams = (f"explode(transform(sequence(1, size(ws) - {n - 1}),"
                  f" i -> concat_ws(' ', slice(ws, i, {n}))))")
-        guard = f"size(ws) >= {n}"
+        guard = _min_tokens_rlike("text", n)
+        toks_src = f"SELECT doc_id, {toks} AS ws FROM documents WHERE {guard}"
+        eligible = "SELECT doc_id, ws FROM toks"
     else:
         toks = r"regexp_extract_all(text, '\S+')"
         grams = (f"unnest(list_transform(range(1, len(ws) - {n - 2}),"
                  f" i -> array_to_string(ws[i:i+{n - 1}], ' ')))")
         guard = f"len(ws) >= {n}"
+        toks_src = f"SELECT doc_id, {toks} AS ws FROM documents"
+        eligible = f"SELECT doc_id, ws FROM toks WHERE {guard}"
     gh = _md5_int(dialect, "g")
     return f"""
-WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
-eligible AS (SELECT doc_id, ws FROM toks WHERE {guard}),
+WITH toks AS ({toks_src}),
+eligible AS ({eligible}),
 gstr AS (SELECT doc_id, {grams} AS g FROM eligible),
 grams AS (SELECT doc_id, {gh} AS gh FROM gstr),
 pergram AS (
@@ -1007,7 +1027,7 @@ def _docs_dup_spans_sql(dialect: str) -> str:
                  f" i -> concat_ws(' ', slice(ws, i, {n}))))")
         gsel = (f"SELECT doc_id, pos, g FROM eligible"
                 f" LATERAL VIEW {grams} t AS pos, g")
-        guard = f"size(ws) >= {n}"
+        guard = None  # spark: RLIKE guard at the toks level (see below)
     else:
         toks = r"regexp_extract_all(text, '\S+')"
         gsel = (f"SELECT doc_id,"
@@ -1017,9 +1037,16 @@ def _docs_dup_spans_sql(dialect: str) -> str:
                 " FROM eligible")
         guard = f"len(ws) >= {n}"
     gh = _md5_int(dialect, "g")
+    if dialect == "spark":
+        toks_src = (f"SELECT doc_id, {toks} AS ws FROM documents"
+                    f" WHERE {_min_tokens_rlike('text', n)}")
+        eligible = "SELECT doc_id, ws FROM toks"
+    else:
+        toks_src = f"SELECT doc_id, {toks} AS ws FROM documents"
+        eligible = f"SELECT doc_id, ws FROM toks WHERE {guard}"
     return f"""
-WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
-eligible AS (SELECT doc_id, ws FROM toks WHERE {guard}),
+WITH toks AS ({toks_src}),
+eligible AS ({eligible}),
 gstr AS ({gsel}),
 grams AS (SELECT doc_id, pos, {gh} AS gh FROM gstr),
 gcount AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gh),
@@ -1074,16 +1101,20 @@ def _docs_decontaminate_sql(dialect: str) -> str:
         toks = "regexp_extract_all(text, '\\\\S+', 0)"
         grams = (f"explode(transform(sequence(1, size(ws) - {n - 1}),"
                  f" i -> concat_ws(' ', slice(ws, i, {n}))))")
-        guard = f"size(ws) >= {n}"
+        guard = _min_tokens_rlike("text", n)
+        toks_src = f"SELECT doc_id, {toks} AS ws FROM documents WHERE {guard}"
+        eligible = "SELECT doc_id, ws FROM toks"
     else:
         toks = r"regexp_extract_all(text, '\S+')"
         grams = (f"unnest(list_transform(range(1, len(ws) - {n - 2}),"
                  f" i -> array_to_string(ws[i:i+{n - 1}], ' ')))")
         guard = f"len(ws) >= {n}"
+        toks_src = f"SELECT doc_id, {toks} AS ws FROM documents"
+        eligible = f"SELECT doc_id, ws FROM toks WHERE {guard}"
     gh = _md5_int(dialect, "g")
     return f"""
-WITH toks AS (SELECT doc_id, {toks} AS ws FROM documents),
-eligible AS (SELECT doc_id, ws FROM toks WHERE {guard}),
+WITH toks AS ({toks_src}),
+eligible AS ({eligible}),
 gstr AS (SELECT doc_id, {grams} AS g FROM eligible),
 grams AS (SELECT doc_id, {gh} AS gh FROM gstr),
 evalg AS (
@@ -1188,12 +1219,17 @@ def _docs_shingle_hll_sql(dialect: str) -> str:
         toks = "regexp_extract_all(text, '\\\\S+', 0)"
         grams = ("explode(transform(sequence(1, size(ws) - 2),"
                  " i -> concat_ws(' ', slice(ws, i, 3))))")
-        guard = "size(ws) >= 3"
+        guard = _min_tokens_rlike("text", 3)
+        toks_src = (f"SELECT doc_id, lang, {toks} AS ws FROM documents"
+                    f" WHERE {guard}")
+        eligible = "SELECT doc_id, lang, ws FROM toks"
     else:
         toks = r"regexp_extract_all(text, '\S+')"
         grams = ("unnest(list_transform(range(1, len(ws) - 1),"
                  " i -> array_to_string(ws[i:i+2], ' ')))")
         guard = "len(ws) >= 3"
+        toks_src = f"SELECT doc_id, lang, {toks} AS ws FROM documents"
+        eligible = f"SELECT doc_id, lang, ws FROM toks WHERE {guard}"
     idx = _md5_int(dialect, "g", nhex=2)
     v48 = (_md5_int(dialect, "g", nhex=14)
            if dialect == "duck" else
@@ -1204,8 +1240,8 @@ def _docs_shingle_hll_sql(dialect: str) -> str:
         v48 = f"({v48} % CAST({16 ** 12} AS BIGINT))"
     rho = f"CAST(49 - length(bin({v48})) AS BIGINT)"
     return f"""
-WITH toks AS (SELECT doc_id, lang, {toks} AS ws FROM documents),
-eligible AS (SELECT doc_id, lang, ws FROM toks WHERE {guard}),
+WITH toks AS ({toks_src}),
+eligible AS ({eligible}),
 gstr AS (SELECT lang, {grams} AS g FROM eligible),
 hashed AS (
   SELECT lang, g, {idx} AS reg, {rho} AS rho FROM gstr
@@ -3998,11 +4034,12 @@ def _near_dups_over(spark, pages) -> DataFrame:
         f" AS m{k + 1}"
         for k, (a, b) in enumerate(perms)
     )
+    guard = _min_tokens_rlike("main_text", 3)
     return spark.sql(f"""
         WITH toks AS (
           SELECT url, regexp_extract_all(main_text, '\\\\S+', 0) AS ws
           FROM _extracted
-          WHERE size(regexp_extract_all(main_text, '\\\\S+', 0)) >= 3
+          WHERE {guard}
         ), sh AS (
           SELECT url,
                  transform(sequence(0, size(ws) - 3), i ->

@@ -275,3 +275,34 @@ def test_range_join_plan_has_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_min_tokens_rlike_guard(spark):
+    """The Spark-side >= m-tokens row guard is an RLIKE (one cheap
+    regex search) while the frozen DuckDB oracles keep the
+    len(regexp_extract_all(...)) >= m form; they must agree row-by-row.
+    Exercised on adversarial strings: empty, all-whitespace, every
+    whitespace class, exact-boundary token counts, multi-char tokens,
+    leading/trailing whitespace, punctuation-only tokens."""
+    from crystal_html5_spark.sparkjob.queries import _min_tokens_rlike
+
+    cases = [
+        "", " ", "\t\n  ", "a", "  a  ", "a b", "ab cd", "a b c",
+        "ab cd ef", "a  b\tc", "\na b c\n", "a\r\nb\fc", "a b c d",
+        "one two three four five six seven eight",
+        ". , ;", "a.b c,d", "x " * 20, " lead", "trail ",
+        " a b c",  # NBSP is NOT Java \s: stays inside a token
+        "word", "two words", "  spaced   out   tokens  ",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    df.createOrReplaceTempView("_guard_cases")
+    for m in (3, 5, 6, 8):
+        slow = spark.sql(
+            "SELECT text FROM _guard_cases WHERE"
+            " size(regexp_extract_all(text, '\\\\S+', 0)) >= " + str(m)
+        ).collect()
+        fast = spark.sql(
+            "SELECT text FROM _guard_cases WHERE "
+            + _min_tokens_rlike("text", m)
+        ).collect()
+        assert sorted(map(tuple, slow)) == sorted(map(tuple, fast)), m
