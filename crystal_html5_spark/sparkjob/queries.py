@@ -87,13 +87,47 @@ def _spread_view(spark, df: DataFrame, source: str) -> DataFrame:
 _SPREAD_TABLES = ("documents", "embeddings")
 
 
-def load_views(spark, sf_dir: str) -> None:
-    for t in TABLES:
-        source = f"{sf_dir}/{t}.parquet"
+# DataFrame-object memo for the sf views: spark.read.parquet costs a
+# schema/footer read + file listing per call (~20-40 ms x 10 tables),
+# paid on EVERY query invocation through load_views.  The memo holds
+# lazy DataFrame definitions keyed by (session, path) — planning
+# objects only; no rows are ever cached (the scan re-reads the files
+# on every action).
+_VIEW_MEMO: dict = {}
+
+
+def _read_view(spark, t: str, source: str) -> DataFrame:
+    key = (spark, source)
+    df = _VIEW_MEMO.get(key)
+    if df is None:
         df = tableio.read_table(spark, source)
         if t in _SPREAD_TABLES:
             df = _spread_view(spark, df, source)
-        df.createOrReplaceTempView(t)
+        _VIEW_MEMO[key] = df
+    return df
+
+
+# Last sf_dir registered per session: re-registering the same 10 views
+# costs 10 py4j round-trips (~90 ms) per query invocation; skip when
+# unchanged.  Callers that register their OWN temp view under one of
+# the TABLES names on a shared session must call invalidate_views()
+# afterwards (tests do; the driver and bench never shadow them).
+_VIEWS_REGISTERED: dict = {}
+
+
+def invalidate_views(spark) -> None:
+    """Forget the registration skip for a session whose TABLES views
+    were shadowed externally; the next load_views re-registers."""
+    _VIEWS_REGISTERED.pop(spark, None)
+
+
+def load_views(spark, sf_dir: str) -> None:
+    if _VIEWS_REGISTERED.get(spark) == sf_dir:
+        return
+    for t in TABLES:
+        source = f"{sf_dir}/{t}.parquet"
+        _read_view(spark, t, source).createOrReplaceTempView(t)
+    _VIEWS_REGISTERED[spark] = sf_dir
 
 
 def _sql(query: str):
@@ -3619,12 +3653,22 @@ def _ann_lsh_topk(spark, sf_dir: str) -> DataFrame:
 # rows-only checks for the driver (deterministic output across runs).
 
 
+def _read_cached(spark, source: str) -> DataFrame:
+    """Memoized lazy scan definition (same planning-object cache as the
+    sf views — see _VIEW_MEMO; no rows are cached)."""
+    key = (spark, source)
+    df = _VIEW_MEMO.get(key)
+    if df is None:
+        df = tableio.read_table(spark, source)
+        _VIEW_MEMO[key] = df
+    return df
+
+
 def _pages(spark, sf_dir: str) -> DataFrame:
     """Pages as a parquet scan (cached by size+seed): the extract queries
     get the same pruned-scan plan as the bench/production path instead of
     a driver-side createDataFrame materialization."""
-    return tableio.read_table(
-        spark, pages_parquet(spark, n_pages_for_sf(sf_dir)))
+    return _read_cached(spark, pages_parquet(spark, n_pages_for_sf(sf_dir)))
 
 
 # page_links/page_titles are CSS/XPath-through-Spark correctness
@@ -3641,7 +3685,7 @@ _EXPECTED_DIR = _pathlib.Path(__file__).resolve().parents[2] \
 
 
 def _pages_fixed(spark) -> DataFrame:
-    return tableio.read_table(spark, pages_parquet(spark, _FIXED_PAGES_N))
+    return _read_cached(spark, pages_parquet(spark, _FIXED_PAGES_N))
 
 
 def _pages_fixed_spread(spark) -> DataFrame:

@@ -61,8 +61,13 @@ def test_two_snapshot_ingest_matches_batch(spark, tmp_path):
     assert got_all.filter("doc_id = 999999 AND band_no = -1").count() == 1
     got = got_all.filter("band_no >= 0")
     corpus.createOrReplaceTempView("documents")
-    from crystal_html5_spark.sparkjob.queries import _mh_prefix
+    from crystal_html5_spark.sparkjob.queries import (
+        _mh_prefix,
+        invalidate_views,
+    )
+    invalidate_views(spark)  # we just shadowed the sf `documents` view
     want = spark.sql(_mh_prefix("spark", with_bands=True)
                      + " SELECT doc_id, band_no, band_key FROM bands")
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+    invalidate_views(spark)  # and leave no stale skip behind us
