@@ -46,8 +46,10 @@ def synth_media(spark, sf_dir: str) -> DataFrame:
     4 -> opaque bytes (fake path)."""
     from . import io as tableio
 
-    docs = tableio.read_table(spark, f"{sf_dir}/documents.parquet") \
-        .select("doc_id")
+    source = f"{sf_dir}/documents.parquet"
+    docs = tableio.spread_small_scan(
+        spark, tableio.read_table(spark, source), source
+    ).select("doc_id")
 
     def blobs(iterator):
         import hashlib

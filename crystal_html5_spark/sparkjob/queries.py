@@ -60,31 +60,21 @@ def _spread_scan(spark, df: DataFrame) -> DataFrame:
     return df.repartition(p) if n < p else df
 
 
-# Split-count probes are a (cheap but nonzero) extra planning pass;
-# the answer is a pure function of the file layout and the session's
-# parallelism, so memoize per (source, parallelism).  This caches a
-# PLANNING decision, never data or results.
-_SPREAD_MEMO: dict = {}
-
-
 def _spread_view(spark, df: DataFrame, source: str) -> DataFrame:
-    p = spark.sparkContext.defaultParallelism
-    key = (source, p)
-    if key not in _SPREAD_MEMO:
-        try:
-            _SPREAD_MEMO[key] = df.rdd.getNumPartitions() < p
-        except Exception:  # noqa: BLE001
-            _SPREAD_MEMO[key] = False
-    return df.repartition(p) if _SPREAD_MEMO[key] else df
+    return tableio.spread_small_scan(spark, df, source)
 
 
 # Tables whose queries do heavy per-row expression work map-side (the
-# minhash/ngram/simhash/unigram families over `documents`, the cosine /
-# quantization lambdas over `embeddings`): these get the adaptive spread.
-# The relational facts (lineitem/orders) aggregate or join straight off
-# the scan with cheap expressions, where an extra exchange only adds
-# cost; the events queries shuffle by user_id immediately anyway.
-_SPREAD_TABLES = ("documents", "embeddings")
+# minhash/ngram/simhash/unigram families over `documents`): these get
+# the adaptive spread.  The relational facts (lineitem/orders)
+# aggregate or join straight off the scan with cheap expressions, where
+# an extra exchange only adds cost; the events queries shuffle by
+# user_id immediately anyway; `embeddings` was measured BOTH ways and
+# the spread LOST — the iterative PQ/IVF queries reference the scan
+# from dozens of chained stages, so the extra exchange multiplies
+# (emb_pq 3.6 s no-spread vs 5.5 s spread) while the map-heavy cosine
+# queries were already sub-0.3 s.
+_SPREAD_TABLES = ("documents",)
 
 
 # DataFrame-object memo for the sf views: spark.read.parquet costs a
