@@ -85,20 +85,29 @@ def connected_components(edges: DataFrame, col_a: str, col_b: str,
     reliable `checkpoint()` (localCheckpoint ties the data to executor
     lifetime, which breaks under dynamic allocation / executor loss).
     """
+    # Lazy localCheckpoint: the fixpoint-test count() below is the
+    # action that materializes it, so each round runs ONE job for
+    # compute+persist+count instead of an eager-checkpoint job plus a
+    # count job (the plan is truncated either way).
     e = _canon(
         edges.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    n = e.count()  # materializes the checkpoint
     rounds = 0
     for _ in range(MAX_ROUNDS):
         rounds += 1
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # Fixpoint test: canonical edge sets are equal iff same count and
-        # no row of e2 is outside e (both are distinct sets).
+        # no row of e2 is outside e (both are distinct sets).  The
+        # anti-join probe only runs when the counts agree — on the
+        # non-final rounds the count difference alone proves change,
+        # saving a job per round.
+        n2 = e2.count()  # materializes this round's checkpoint
         changed = (
-            e2.count() != e.count()
+            n2 != n
             or e2.join(e, ["a", "b"], "left_anti").limit(1).count() > 0
         )
-        e = e2
+        e, n = e2, n2
         if not changed:
             break
     else:

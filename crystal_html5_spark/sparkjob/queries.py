@@ -1503,9 +1503,17 @@ def _events_asof_tier(spark, sf_dir: str) -> DataFrame:
         m["tier"] = m["tier"].astype("Int32")
         return m[["event_id", "user_id", "ts", "tier"]]
 
+    # Explicit hash repartition on the cogroup key at defaultParallelism
+    # (scales with the cluster): the cogroup reuses this user-specified
+    # partitioning, which AQE may NOT coalesce — without it, AQE's
+    # byte-based sizing squeezed the few-MB co-shuffle into 2 post-
+    # shuffle partitions and the per-user pandas merge_asof (Python
+    # CPU AQE cannot see) ran nearly serially (measured 4.5 s -> 1.0 s
+    # at sf0.1, identical rows).
+    n = spark.sparkContext.defaultParallelism
     out = (
-        events.groupBy("user_id")
-        .cogroup(profiles.groupBy("user_id"))
+        events.repartition(n, "user_id").groupBy("user_id")
+        .cogroup(profiles.repartition(n, "user_id").groupBy("user_id"))
         .applyInPandas(
             # ntz: the parquet ts is TIMESTAMP_NTZ; a plain `timestamp`
             # here would come back tz-aware through Arrow and break the
@@ -2715,7 +2723,20 @@ def _docs_pagerank_oracle() -> str:
 def _pagerank_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """The iterative integer-PageRank body shared by the synthetic and
     the real-link-graph queries: `nodes(v)`, `edges(src, dst, od)` ->
-    (v, r) after _PR_ITERS rounds, localCheckpoint per round."""
+    (v, r) after _PR_ITERS rounds.
+
+    The graph frames are localCheckpoint'ed once (they are referenced
+    by every round; without it the synthesis subtree inlines 8x), but
+    the rounds themselves chain LAZILY into one job: the round count is
+    a fixed constant, so the plan depth is bounded (the DuckDB oracle
+    unrolls the identical 8 CTEs) and the per-round eager checkpoints
+    the r5 version used only added 8 job round-trips + materializations
+    (measured 3.7 s -> 1.0 s at sf0.1, identical output).  Chained
+    shuffles are also the more fault-tolerant shape: shuffle files are
+    recomputable upstream, while localCheckpoint partitions die with
+    their executor.  The per-round-truncation lesson (cc.py) applies to
+    DYNAMIC loops whose plan grows superlinearly with a data-dependent
+    round count — not to a fixed 8-round recurrence."""
     edges = edges.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.select("v", F.lit(_PR_UNIT).cast("long").alias("r"))
@@ -2733,7 +2754,6 @@ def _pagerank_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                  + F.expr("(85 * coalesce(c, 0L)) DIV 100"))
                 .cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks
 
