@@ -76,15 +76,35 @@ def rules_for(groups: list, agent: str) -> list:
 
 def _pattern_matches(pattern: str, path: str) -> bool:
     """REP pattern match: '*' = any octets, trailing '$' = end anchor,
-    match is anchored at the start of the path."""
+    match is anchored at the start of the path.
+
+    Linear-time greedy segment matcher, NOT a compiled regex: robots.txt
+    is untrusted web content, and the previous '.*'.join(escaped
+    segments) form could be driven into catastrophic backtracking by a
+    hostile pattern with many '*' against a long path — wedging an
+    executor mid-crawl.  Greedy leftmost placement of each inter-'*'
+    segment is exact for this pattern language: earlier placement only
+    ever leaves more room for later segments, and the end-anchored tail
+    is checked at the end position directly."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    parts = [re.escape(p) for p in pattern.split("*")]
-    rx = ".*".join(parts)
+    first, *rest = pattern.split("*")
+    if not path.startswith(first):
+        return False
+    pos = len(first)
+    if not rest:
+        # no '*': exact match if anchored, prefix match otherwise
+        return len(path) == pos if anchored else True
+    *mid, last = rest
+    for seg in mid:
+        i = path.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
     if anchored:
-        rx += "$"
-    return re.match(rx, path) is not None
+        return len(path) - len(last) >= pos and path.endswith(last)
+    return path.find(last, pos) >= 0
 
 
 def allowed(rules: list, path: str) -> bool:

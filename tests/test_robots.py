@@ -144,3 +144,59 @@ def test_parser_never_raises_on_garbage():
                       for _ in range(rng.randrange(0, 200)))
         verdict = is_allowed(txt, "bot", "/a/b")
         assert verdict in (True, False)
+
+
+def test_linear_matcher_equals_regex_reference():
+    """The linear-time greedy matcher must agree with the regex
+    formulation ('.*'.join of escaped segments, trailing '$' anchor) it
+    replaced — property-tested over random patterns/paths dense in '*'
+    and '$', plus adversarial hand cases."""
+    import random
+    import re
+
+    from crystal_html5_spark.sparkjob.robots import _pattern_matches
+
+    def regex_ref(pattern, path):
+        anchored = pattern.endswith("$")
+        if anchored:
+            pattern = pattern[:-1]
+        rx = ".*".join(re.escape(p) for p in pattern.split("*"))
+        if anchored:
+            rx += "$"
+        return re.match(rx, path) is not None
+
+    hand = [
+        ("", "/a"), ("$", ""), ("$", "/"), ("*$", "/x"),
+        ("/*$", "/"), ("/a*b*c$", "/a-b-b-c"), ("/a*b*c$", "/a-c-b"),
+        ("/a**b", "/ab"), ("/a**b", "/a/b"), ("***", "/"),
+        ("/p$x", "/p$x"), ("/p$x", "/px"),
+        ("/fish*.php$", "/fish/salmon.php"),
+        ("/fish*.php$", "/fish.php?x=1"),
+    ]
+    for pat, path in hand:
+        assert _pattern_matches(pat, path) == regex_ref(pat, path), \
+            (pat, path)
+
+    rng = random.Random(99)
+    alpha = "ab/*$"
+    for _ in range(3000):
+        pat = "".join(rng.choice(alpha)
+                      for _ in range(rng.randrange(0, 10)))
+        path = "/" + "".join(rng.choice("ab/")
+                             for _ in range(rng.randrange(0, 14)))
+        assert _pattern_matches(pat, path) == regex_ref(pat, path), \
+            (pat, path)
+
+
+def test_linear_matcher_hostile_pattern_fast():
+    """The catastrophic-backtracking case the regex form was vulnerable
+    to: many wildcards, long non-matching path — must answer quickly."""
+    import time
+
+    from crystal_html5_spark.sparkjob.robots import _pattern_matches
+
+    pattern = "/a" + "*a" * 30 + "b$"
+    path = "/" + "a" * 5000
+    t0 = time.perf_counter()
+    assert _pattern_matches(pattern, path) is False
+    assert time.perf_counter() - t0 < 0.1
