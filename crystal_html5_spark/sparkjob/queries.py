@@ -41,26 +41,10 @@ TABLES = (
 )
 
 
-def _spread_scan(spark, df: DataFrame) -> DataFrame:
-    """Scale-adaptive scan spreading (optimization guide §2.5 "input
-    skew" / §6 split sizing): when a file scan yields fewer input splits
-    than the session's parallelism — the sf tables are single-file,
-    single-row-group parquet, so their scans are ONE task and every
-    map-side expression (minhash signatures, n-gram explode+md5, cosine
-    lambdas) runs serially — round-robin repartition to
-    defaultParallelism.  The shuffle moves only the pruned columns of a
-    sub-split-size table (< 128 MB by construction), and at real scale
-    the scan already has >= parallelism splits so this returns the frame
-    unchanged (no exchange in the plan)."""
-    p = spark.sparkContext.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — planning failure: leave untouched
-        return df
-    return df.repartition(p) if n < p else df
-
-
 def _spread_view(spark, df: DataFrame, source: str) -> DataFrame:
+    """Scale-adaptive scan spreading — see io.spread_small_scan (the
+    single implementation; memoized split-count probe, no exchange at
+    real scale)."""
     return tableio.spread_small_scan(spark, df, source)
 
 
@@ -538,7 +522,7 @@ def _min_tokens_rlike(col: str, m: int) -> str:
     contains m-2 interior tokens flanked by two non-space chars across
     m-1 whitespace gaps — the pattern below; the regex engine
     short-circuits on the first match.  Equivalence is pinned by
-    tests/test_queries_small.py::test_min_tokens_rlike_guard.  The
+    tests/test_queries_oracle.py::test_min_tokens_rlike_guard.  The
     DuckDB oracles keep the len() >= m form (frozen text; independent
     derivation)."""
     pattern = "\\\\S" + "\\\\s+\\\\S+" * (m - 2) + "\\\\s+\\\\S"
@@ -3699,7 +3683,7 @@ def _pages_fixed(spark) -> DataFrame:
 
 
 def _pages_fixed_spread(spark) -> DataFrame:
-    """Fixed fixture with the adaptive scan spread (see _spread_scan):
+    """Fixed fixture with the adaptive scan spread (io.spread_small_scan):
     the 500-page fixture is one parquet file = one scan split, so a
     mapInArrow straight off the scan (page_links/page_titles/
     page_xpath_stats, WARC/WAT serialization) parses every page in ONE
